@@ -1,0 +1,83 @@
+"""Training losses: L1, L2, and windowed SSIM.
+
+Parity with the reference's utils/loss_utils.py (l1/l2 :17-21; SSIM with an
+11x11 sigma=1.5 separable Gaussian window, per-channel convolution, C1/C2 for
+dynamic range 1 :23-63). Implemented with depthwise lax convolutions so the
+whole loss jits and fuses.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax.numpy as jnp
+from jax import lax
+
+
+def l1_loss(pred, target):
+    return jnp.abs(pred - target).mean()
+
+
+def l2_loss(pred, target):
+    return ((pred - target) ** 2).mean()
+
+
+@functools.lru_cache(maxsize=None)
+def _gaussian_window(window_size: int, sigma: float):
+    import numpy as np
+
+    xs = np.arange(window_size) - window_size // 2
+    g = np.exp(-(xs ** 2) / (2.0 * sigma ** 2))
+    g = (g / g.sum()).astype(np.float32)
+    return jnp.asarray(g)
+
+
+def _depthwise_blur(img, window_size: int, sigma: float):
+    """Separable depthwise Gaussian filter. img: (C, H, W)."""
+    C = img.shape[0]
+    g = _gaussian_window(window_size, sigma)
+    kh = jnp.tile(g.reshape(1, 1, window_size, 1), (C, 1, 1, 1))
+    kw = jnp.tile(g.reshape(1, 1, 1, window_size), (C, 1, 1, 1))
+    x = img[None]  # NCHW
+    pad = window_size // 2
+    dn = lax.conv_dimension_numbers(x.shape, kh.shape, ("NCHW", "OIHW", "NCHW"))
+    x = lax.conv_general_dilated(x, kh, (1, 1), [(pad, pad), (0, 0)], dimension_numbers=dn, feature_group_count=C)
+    x = lax.conv_general_dilated(x, kw, (1, 1), [(0, 0), (pad, pad)], dimension_numbers=dn, feature_group_count=C)
+    return x[0]
+
+
+def ssim(img1, img2, window_size: int = 11, sigma: float = 1.5):
+    """Mean SSIM over a (C, H, W) image pair in [0, 1].
+
+    Same constants as loss_utils.py:55-63: C1 = 0.01^2, C2 = 0.03^2; Gaussian
+    window normalized to sum 1; 'same' padding (the reference pads by
+    window//2 as well).
+    """
+    img1 = img1.astype(jnp.float32)
+    img2 = img2.astype(jnp.float32)
+    mu1 = _depthwise_blur(img1, window_size, sigma)
+    mu2 = _depthwise_blur(img2, window_size, sigma)
+    mu1_sq = mu1 * mu1
+    mu2_sq = mu2 * mu2
+    mu1_mu2 = mu1 * mu2
+    sigma1_sq = _depthwise_blur(img1 * img1, window_size, sigma) - mu1_sq
+    sigma2_sq = _depthwise_blur(img2 * img2, window_size, sigma) - mu2_sq
+    sigma12 = _depthwise_blur(img1 * img2, window_size, sigma) - mu1_mu2
+    C1 = 0.01 ** 2
+    C2 = 0.03 ** 2
+    ssim_map = ((2 * mu1_mu2 + C1) * (2 * sigma12 + C2)) / (
+        (mu1_sq + mu2_sq + C1) * (sigma1_sq + sigma2_sq + C2)
+    )
+    return ssim_map.mean()
+
+
+def photometric_loss(pred, raw_pred, target, lambda_dssim: float = 0.2):
+    """(1-λ)·L1(pred, gt) + λ·(1-SSIM(raw_pred, gt)).
+
+    The reference computes L1 on the appearance-decoupled image and SSIM on
+    the raw render (train.py:111-117); pass pred == raw_pred when appearance
+    decoupling is off.
+    """
+    return (1.0 - lambda_dssim) * l1_loss(pred, target) + lambda_dssim * (
+        1.0 - ssim(raw_pred, target)
+    )
