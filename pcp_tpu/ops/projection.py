@@ -1,0 +1,155 @@
+"""Per-Gaussian preprocess: project, EWA 2D covariance, conic, radii, color.
+
+Vectorised-over-N jnp redesign of the reference rasterizer's per-Gaussian
+preprocess stage (submodules/diff-gaussian-rasterization/cuda_rasterizer/
+forward.cu:118-256 `preprocessCUDA`, :74-113 `computeCov2D`, :20-71
+`computeColorFromSH`). One thread per Gaussian in CUDA becomes one fused XLA
+program over (N, ...) arrays — the natural TPU mapping (pure VPU work, no
+gather/scatter).
+
+Conventions (COLMAP / reference):
+  viewmat (4,4): world -> camera, x_cam = R x_w + t, camera looks down +z.
+  Pixel coords: x right, y down; pixel centers at integer + 0.5 like
+  ndc2Pix (auxiliary.h:41-44).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, NamedTuple
+
+import jax.numpy as jnp
+
+from pcp_tpu.utils.general import covariance_from_scaling_rotation
+from pcp_tpu.utils.sh import eval_sh_color
+
+NEAR_PLANE = 0.2  # in_frustum near clip (auxiliary.h:128-134)
+LOW_PASS = 0.3    # 2D covariance dilation (forward.cu:108-112)
+TILE = 16         # BLOCK_X/BLOCK_Y (config.h:16-17)
+
+
+class CameraIntrin(NamedTuple):
+    """Pinhole intrinsics as traced scalars (shapes stay static)."""
+
+    fx: jnp.ndarray
+    fy: jnp.ndarray
+    cx: jnp.ndarray
+    cy: jnp.ndarray
+
+
+def preprocess(
+    xyz: jnp.ndarray,          # (N, 3) world means
+    scales: jnp.ndarray,       # (N, 3) activated scales
+    quats: jnp.ndarray,        # (N, 4) unnormalised quaternions
+    opacities: jnp.ndarray,    # (N,)   activated opacities
+    sh: jnp.ndarray,           # (N, K, 3) SH coefficients
+    viewmat: jnp.ndarray,      # (4, 4) world->camera
+    intrin: CameraIntrin,
+    image_size,                # (W, H) static ints
+    sh_degree: int,
+    tan_fov=None,              # (tanx, tany); default from intrinsics
+    means2d_offset: jnp.ndarray = None,  # (N, 2) zero probe for densify grads
+) -> Dict[str, jnp.ndarray]:
+    """Returns per-Gaussian screen-space quantities.
+
+    Keys: means2d (N,2) px, depths (N,), conics (N,3) [a,b,c] of the inverse
+    2D covariance, radii (N,) px (0 = culled), rgb (N,3), opacity (N,),
+    rect (N,4) int32 tile bounds [x0,y0,x1,y1) clamped to the tile grid.
+    """
+    w, h = int(image_size[0]), int(image_size[1])
+    n = xyz.shape[0]
+    rot = viewmat[:3, :3]
+    trn = viewmat[:3, 3]
+
+    p_view = xyz @ rot.T + trn                     # (N, 3) camera space
+    depths = p_view[:, 2]
+    in_front = depths > NEAR_PLANE
+
+    # --- projection (ndc2Pix-equivalent focal form) ---
+    zinv = 1.0 / jnp.where(in_front, depths, 1.0)
+    mx = p_view[:, 0] * zinv * intrin.fx + intrin.cx
+    my = p_view[:, 1] * zinv * intrin.fy + intrin.cy
+    means2d = jnp.stack([mx, my], axis=-1)
+    if means2d_offset is not None:
+        means2d = means2d + means2d_offset
+
+    # --- EWA: cov2D = J W cov3D W^T J^T + LOW_PASS I (computeCov2D) ---
+    if tan_fov is None:
+        tanx = 0.5 * w / intrin.fx
+        tany = 0.5 * h / intrin.fy
+    else:
+        tanx, tany = tan_fov
+    lim_x = 1.3 * tanx
+    lim_y = 1.3 * tany
+    tx = jnp.clip(p_view[:, 0] * zinv, -lim_x, lim_x) * depths
+    ty = jnp.clip(p_view[:, 1] * zinv, -lim_y, lim_y) * depths
+
+    cov3d = covariance_from_scaling_rotation(scales, quats)  # (N, 3, 3)
+    z = depths
+    zero = jnp.zeros_like(z)
+    # J rows (forward.cu:95-99)
+    j00 = intrin.fx / z
+    j02 = -intrin.fx * tx / (z * z)
+    j11 = intrin.fy / z
+    j12 = -intrin.fy * ty / (z * z)
+    J = jnp.stack(
+        [
+            jnp.stack([j00, zero, j02], axis=-1),
+            jnp.stack([zero, j11, j12], axis=-1),
+        ],
+        axis=-2,
+    )  # (N, 2, 3)
+    T = J @ rot  # (N, 2, 3)
+    cov2d = T @ cov3d @ jnp.swapaxes(T, -1, -2)  # (N, 2, 2)
+    a = cov2d[:, 0, 0] + LOW_PASS
+    c = cov2d[:, 1, 1] + LOW_PASS
+    b = cov2d[:, 0, 1]
+
+    det = a * c - b * b
+    det_ok = det > 0.0
+    det_safe = jnp.where(det_ok, det, 1.0)
+    conic = jnp.stack([c / det_safe, -b / det_safe, a / det_safe], axis=-1)
+
+    # radius = ceil(3 sigma_max) via eigenvalues (forward.cu:195-200)
+    mid = 0.5 * (a + c)
+    lam1 = mid + jnp.sqrt(jnp.maximum(0.1, mid * mid - det))
+    radius = jnp.ceil(3.0 * jnp.sqrt(lam1))
+
+    # --- SH -> clamped RGB (computeColorFromSH) ---
+    campos = -rot.T @ trn
+    dirs = xyz - campos
+    dirs = dirs / jnp.maximum(jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-12)
+    rgb = eval_sh_color(sh_degree, sh, dirs)
+
+    # --- tile rect (getRect, auxiliary.h:46-59) ---
+    tiles_x = (w + TILE - 1) // TILE
+    tiles_y = (h + TILE - 1) // TILE
+    x0 = jnp.clip(((means2d[:, 0] - radius) / TILE).astype(jnp.int32), 0, tiles_x)
+    y0 = jnp.clip(((means2d[:, 1] - radius) / TILE).astype(jnp.int32), 0, tiles_y)
+    x1 = jnp.clip(
+        ((means2d[:, 0] + radius + TILE - 1) / TILE).astype(jnp.int32), 0, tiles_x
+    )
+    y1 = jnp.clip(
+        ((means2d[:, 1] + radius + TILE - 1) / TILE).astype(jnp.int32), 0, tiles_y
+    )
+
+    visible = in_front & det_ok & ((x1 - x0) * (y1 - y0) > 0)
+    radii = jnp.where(visible, radius, 0.0)
+    rect = jnp.stack(
+        [
+            jnp.where(visible, x0, 0),
+            jnp.where(visible, y0, 0),
+            jnp.where(visible, x1, 0),
+            jnp.where(visible, y1, 0),
+        ],
+        axis=-1,
+    )
+    return {
+        "means2d": means2d,
+        "depths": depths,
+        "conics": conic,
+        "radii": radii,
+        "rgb": rgb,
+        "opacity": jnp.where(visible, opacities, 0.0),
+        "rect": rect,
+        "visible": visible,
+    }

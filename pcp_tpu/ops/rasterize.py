@@ -1,0 +1,225 @@
+"""Differentiable tile-based Gaussian rasterizer (forward + autodiff backward).
+
+TPU-native replacement for the reference's diff-gaussian-rasterization CUDA
+extension. The CUDA forward composites front-to-back per pixel with early
+termination (forward.cu:261-374 `renderCUDA`); the backward re-traverses
+back-to-front accumulating gradients with `atomicAdd` (backward.cu:400-656).
+
+Here the pipeline is:
+
+  preprocess (projection.py)  ->  bin_gaussians (binning.py)  ->  composite
+
+and ``composite`` expresses the sequential per-pixel loop as a `lax.scan`
+over fixed-size Gaussian chunks with the transmittance as carry. Within a
+chunk the front-to-back product becomes an exclusive cumulative sum of
+log(1 - alpha) — fully vectorised VPU work. JAX autodiff through the scan
+(with `jax.checkpoint` on the body so alphas are rematerialised, not stored)
+yields a deterministic backward: the `atomicAdd` race of the CUDA version
+becomes an ordinary (reproducible) reduction.
+
+CUDA semantics preserved exactly:
+  alpha = min(0.99, opacity * exp(power)); skipped if power > 0 or
+  alpha < 1/255 (forward.cu:329-338); a pixel stops *before* the first
+  contribution that would drop its transmittance below 1e-4 (:340-345),
+  and the stop is sticky; final color = C + T * background (:365-373).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from pcp_tpu.ops.binning import TileBins, bin_gaussians
+from pcp_tpu.ops.projection import TILE, CameraIntrin, preprocess
+
+ALPHA_MIN = 1.0 / 255.0
+ALPHA_MAX = 0.99
+T_EPS = 1.0e-4
+
+
+def _chunk_body(carry, chunk, *, n_pix):
+    """Composite one chunk of Gaussians into all tiles of a batch.
+
+    carry: (color (B,P,3), transmittance (B,P), done (B,P) bool)
+    chunk: dict of per-chunk gathered Gaussian data + pixel coords.
+    """
+    color, trans, done = carry
+    mean = chunk["mean"]          # (B, CH, 2)
+    conic = chunk["conic"]        # (B, CH, 3)
+    rgb = chunk["rgb"]            # (B, CH, 3)
+    opac = chunk["opac"]          # (B, CH)
+    valid = chunk["valid"]        # (B, CH)
+    pix = chunk["pix"]            # (B, P, 2)
+
+    d = pix[:, None, :, :] - mean[:, :, None, :]          # (B, CH, P, 2)
+    dx, dy = d[..., 0], d[..., 1]
+    a = conic[..., 0:1]
+    b = conic[..., 1:2]
+    c = conic[..., 2:3]
+    power = -0.5 * (a * dx * dx + c * dy * dy) - b * dx * dy  # (B, CH, P)
+    alpha = jnp.minimum(ALPHA_MAX, opac[..., None] * jnp.exp(power))
+    alpha = jnp.where(
+        (power > 0.0) | (alpha < ALPHA_MIN) | ~valid[..., None], 0.0, alpha
+    )
+
+    # Sticky early-stop (forward.cu:340-345): contribution k is skipped if
+    # T after it would fall below 1e-4; thereafter the pixel is done.
+    log1ma = jnp.log1p(-alpha)                              # (B, CH, P)
+    t_after_raw = trans[:, None, :] * jnp.exp(jnp.cumsum(log1ma, axis=1))
+    newly_done = t_after_raw < T_EPS
+    done_k = done[:, None, :] | (jnp.cumsum(newly_done, axis=1) > 0)
+    alpha = jnp.where(done_k, 0.0, alpha)
+
+    log1ma = jnp.log1p(-alpha)
+    cum = jnp.cumsum(log1ma, axis=1)
+    t_excl = trans[:, None, :] * jnp.exp(cum - log1ma)      # T before k
+    w = alpha * t_excl                                      # (B, CH, P)
+    color = color + jnp.einsum("bkp,bkc->bpc", w, rgb)
+    trans = trans * jnp.exp(cum[:, -1, :])
+    done = done_k[:, -1, :]
+    return (color, trans, done), None
+
+
+def composite(
+    prep: Dict[str, jnp.ndarray],
+    bins: TileBins,
+    image_size,
+    background: jnp.ndarray,
+    *,
+    chunk: int = 32,
+    tile_batch: int = 64,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Composite binned Gaussians into an image.
+
+    Returns (image (H, W, 3) in [0, inf), final_T (H, W)).
+    """
+    w, h = int(image_size[0]), int(image_size[1])
+    tiles_x = (w + TILE - 1) // TILE
+    tiles_y = (h + TILE - 1) // TILE
+    num_tiles = tiles_x * tiles_y
+    k_cap = bins.tile_gauss.shape[1]
+    n_chunks = (k_cap + chunk - 1) // chunk
+    p = TILE * TILE
+
+    # Pad tile count to a multiple of tile_batch.
+    nt_pad = ((num_tiles + tile_batch - 1) // tile_batch) * tile_batch
+    tg = jnp.full((nt_pad, n_chunks * chunk), -1, jnp.int32)
+    tg = tg.at[:num_tiles, :k_cap].set(bins.tile_gauss)
+    tg = tg.reshape(nt_pad // tile_batch, tile_batch, n_chunks, chunk)
+
+    # Per-tile pixel centers (+0.5 like ndc2Pix, auxiliary.h:41-44... the
+    # CUDA kernel uses integer pix coords; means2d are already in the same
+    # pixel frame, so use integer coordinates to match renderCUDA:302-305).
+    tile_ids = jnp.arange(nt_pad)
+    tx0 = (tile_ids % tiles_x) * TILE
+    ty0 = (tile_ids // tiles_x) * TILE
+    py, px = jnp.meshgrid(jnp.arange(TILE), jnp.arange(TILE), indexing="ij")
+    pix = jnp.stack(
+        [tx0[:, None] + px.reshape(-1)[None, :], ty0[:, None] + py.reshape(-1)[None, :]],
+        axis=-1,
+    ).astype(jnp.float32)                                   # (nt_pad, P, 2)
+    pix = pix.reshape(nt_pad // tile_batch, tile_batch, p, 2)
+
+    means2d = prep["means2d"]
+    conics = prep["conics"]
+    rgb = prep["rgb"]
+    opac = prep["opacity"]
+
+    body = jax.checkpoint(functools.partial(_chunk_body, n_pix=p))
+
+    def render_batch(args):
+        tg_b, pix_b = args  # (B, n_chunks, CH), (B, P, 2)
+
+        def scan_body(carry, idx):
+            iv = idx >= 0
+            ic = jnp.maximum(idx, 0)
+            chunk_data = {
+                "mean": means2d[ic],
+                "conic": conics[ic],
+                "rgb": rgb[ic],
+                "opac": opac[ic],
+                "valid": iv,
+                "pix": pix_b,
+            }
+            return body(carry, chunk_data)
+
+        init = (
+            jnp.zeros((tile_batch, p, 3), jnp.float32),
+            jnp.ones((tile_batch, p), jnp.float32),
+            jnp.zeros((tile_batch, p), bool),
+        )
+        (color, trans, _), _ = jax.lax.scan(
+            scan_body, init, jnp.swapaxes(tg_b, 0, 1)
+        )
+        return color, trans
+
+    color, trans = jax.lax.map(render_batch, (tg, pix))
+    color = color.reshape(nt_pad, p, 3)
+    trans = trans.reshape(nt_pad, p)
+
+    # Un-tile: (nt, P, 3) -> (H_pad, W_pad, 3) -> crop.
+    def untile(x):
+        ch = x.shape[-1] if x.ndim == 3 else 1
+        x = x.reshape(nt_pad, TILE, TILE, ch)[:num_tiles]
+        x = x.reshape(tiles_y, tiles_x, TILE, TILE, ch)
+        x = x.transpose(0, 2, 1, 3, 4).reshape(tiles_y * TILE, tiles_x * TILE, ch)
+        return x[:h, :w]
+
+    image = untile(color) + untile(trans[..., None]) * background.reshape(1, 1, 3)
+    return image, untile(trans[..., None])[..., 0]
+
+
+def rasterize(
+    xyz,
+    scales,
+    quats,
+    opacities,
+    sh,
+    viewmat,
+    intrin: CameraIntrin,
+    image_size,
+    background,
+    sh_degree: int,
+    *,
+    max_pairs: int = None,
+    max_per_tile: int = 512,
+    chunk: int = 32,
+    tile_batch: int = 64,
+    means2d_offset=None,
+    tan_fov=None,
+):
+    """Full differentiable rasterization: preprocess -> bin -> composite.
+
+    Mirrors the reference `render()` front-end (gaussian_renderer/
+    __init__.py:18-100). Returns (image (H,W,3), aux dict with radii,
+    visible mask, final transmittance, and intersection count).
+    """
+    w, h = int(image_size[0]), int(image_size[1])
+    tiles_x = (w + TILE - 1) // TILE
+    tiles_y = (h + TILE - 1) // TILE
+    n = xyz.shape[0]
+    if max_pairs is None:
+        max_pairs = max(8 * n, 1 << 16)
+
+    prep = preprocess(
+        xyz, scales, quats, opacities, sh, viewmat, intrin, image_size,
+        sh_degree, tan_fov=tan_fov, means2d_offset=means2d_offset,
+    )
+    bins = bin_gaussians(
+        prep["rect"], prep["depths"], tiles_x, tiles_y,
+        max_pairs=max_pairs, max_per_tile=max_per_tile,
+    )
+    image, final_t = composite(
+        prep, bins, image_size, background, chunk=chunk, tile_batch=tile_batch
+    )
+    aux = {
+        "radii": prep["radii"],
+        "visible": prep["visible"],
+        "final_t": final_t,
+        "n_pairs": bins.n_pairs,
+        "tile_count": bins.tile_count,
+    }
+    return image, aux
