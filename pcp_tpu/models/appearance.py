@@ -1,0 +1,113 @@
+"""Per-view appearance decoupling network (VastGaussian), Flax port.
+
+Reference: scene/ptgs/appearance_network.py:7-61. A trainable 64-d embedding
+per view is concatenated onto a 1/32-downsampled render; a conv + 4x
+(PixelShuffle-2 + conv3x3 + ReLU) upsampling stack + bilinear resize + two
+final convs + sigmoid produce a multiplicative ``transformation map``; the
+decoupled image (map * render) feeds the L1 loss while SSIM sees the raw
+render (train.py:111-117).
+
+NHWC layout (TPU-native; the reference is NCHW). Embedding table:
+(2048, 64) like gaussian_model.py:52-55.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+NUM_EMBEDDINGS = 2048
+EMBED_DIM = 64
+
+
+def _pixel_shuffle(x: jnp.ndarray, r: int = 2) -> jnp.ndarray:
+    """(B, H, W, C*r^2) -> (B, H*r, W*r, C), torch PixelShuffle semantics."""
+    b, h, w, c = x.shape
+    co = c // (r * r)
+    # torch PixelShuffle: channel index = co_idx * r*r + (dy * r + dx)
+    x = x.reshape(b, h, w, co, r, r)
+    x = x.transpose(0, 1, 4, 2, 5, 3)  # b, h, r(dy), w, r(dx), co
+    return x.reshape(b, h * r, w * r, co)
+
+
+def _bilinear_resize(x: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
+    """align_corners=True bilinear resize, matching torch F.interpolate."""
+    b, hi, wi, c = x.shape
+
+    def grid(out, inp):
+        if out == 1:
+            return jnp.zeros((out,), jnp.float32)
+        return jnp.arange(out, dtype=jnp.float32) * ((inp - 1) / (out - 1))
+
+    ys = grid(h, hi)
+    xs = grid(w, wi)
+    y0 = jnp.clip(jnp.floor(ys).astype(jnp.int32), 0, hi - 1)
+    y1 = jnp.clip(y0 + 1, 0, hi - 1)
+    x0 = jnp.clip(jnp.floor(xs).astype(jnp.int32), 0, wi - 1)
+    x1 = jnp.clip(x0 + 1, 0, wi - 1)
+    wy = (ys - y0.astype(jnp.float32))[None, :, None, None]
+    wx = (xs - x0.astype(jnp.float32))[None, None, :, None]
+    v00 = x[:, y0][:, :, x0]
+    v01 = x[:, y0][:, :, x1]
+    v10 = x[:, y1][:, :, x0]
+    v11 = x[:, y1][:, :, x1]
+    return (
+        v00 * (1 - wy) * (1 - wx)
+        + v01 * (1 - wy) * wx
+        + v10 * wy * (1 - wx)
+        + v11 * wy * wx
+    )
+
+
+class UpsampleBlock(nn.Module):
+    out_channels: int
+
+    @nn.compact
+    def __call__(self, x):
+        x = _pixel_shuffle(x, 2)
+        x = nn.Conv(self.out_channels, (3, 3), padding=1)(x)
+        return nn.relu(x)
+
+
+class AppearanceNetwork(nn.Module):
+    """Input (B, H/32, W/32, 3+64) -> multiplicative map (B, H, W, 3)."""
+
+    @nn.compact
+    def __call__(self, x, h: int, w: int):
+        x = nn.relu(nn.Conv(256, (3, 3), padding=1)(x))
+        x = UpsampleBlock(128)(x)
+        x = UpsampleBlock(64)(x)
+        x = UpsampleBlock(32)(x)
+        x = UpsampleBlock(16)(x)
+        x = _bilinear_resize(x, h, w)
+        x = nn.relu(nn.Conv(16, (3, 3), padding=1)(x))
+        x = nn.Conv(3, (3, 3), padding=1)(x)
+        return nn.sigmoid(x)
+
+
+def init_appearance(key, image_size, num_embeddings: int = NUM_EMBEDDINGS):
+    """Returns {"embeddings": (E, 64), "net": flax params}."""
+    w, h = int(image_size[0]), int(image_size[1])
+    k1, k2 = jax.random.split(key)
+    net = AppearanceNetwork()
+    dummy = jnp.zeros((1, max(h // 32, 1), max(w // 32, 1), 3 + EMBED_DIM))
+    variables = net.init(k2, dummy, h, w)
+    emb = jax.random.normal(k1, (num_embeddings, EMBED_DIM)) * 0.01
+    return {"embeddings": emb, "net": variables["params"]}
+
+
+def decouple_appearance(image: jnp.ndarray, app_params, view_idx) -> jnp.ndarray:
+    """(H, W, 3) render -> appearance-transformed image (and the map).
+
+    Mirrors decouple_appearance (appearance_network.py:7-17): downsample x32,
+    concat the view embedding, run the CNN, multiply into the render.
+    """
+    h, w = image.shape[0], image.shape[1]
+    hd, wd = max(h // 32, 1), max(w // 32, 1)
+    down = _bilinear_resize(image[None], hd, wd)
+    emb = app_params["embeddings"][view_idx]
+    emb_map = jnp.broadcast_to(emb[None, None, None, :], (1, hd, wd, EMBED_DIM))
+    x = jnp.concatenate([down, emb_map], axis=-1)
+    mapping = AppearanceNetwork().apply({"params": app_params["net"]}, x, h, w)[0]
+    return mapping * image, mapping

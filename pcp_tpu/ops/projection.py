@@ -132,7 +132,16 @@ def preprocess(
         ((means2d[:, 1] + radius + TILE - 1) / TILE).astype(jnp.int32), 0, tiles_y
     )
 
-    visible = in_front & det_ok & ((x1 - x0) * (y1 - y0) > 0)
+    # Opacity below 1/255 can never contribute (renderCUDA skips alpha <
+    # 1/255, forward.cu:329-338, and alpha <= opacity), so culling here is
+    # semantics-preserving and keeps dead capacity-padding slots out of the
+    # binning budget.
+    visible = (
+        in_front
+        & det_ok
+        & ((x1 - x0) * (y1 - y0) > 0)
+        & (opacities > 1.0 / 255.0)
+    )
     radii = jnp.where(visible, radius, 0.0)
     rect = jnp.stack(
         [

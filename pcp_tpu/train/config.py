@@ -1,0 +1,114 @@
+"""Config dataclasses mirroring the reference flag surface.
+
+arguments/__init__.py:47-114 — ModelParams / OptimizationParams /
+PipelineParams — reproduced as dataclasses; the CLI layer maps the same flag
+names (-s/--source_path, -m/--model_path, --iterations, densify knobs,
+partition knobs, Manhattan knobs). cfg_args persistence is JSON here, not the
+reference's eval()-of-repr (a known defect, arguments/__init__.py:130).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+
+@dataclass
+class ModelConfig:
+    """ModelParams (arguments/__init__.py:47-79)."""
+
+    sh_degree: int = 3
+    source_path: str = ""
+    model_path: str = ""
+    images: str = "images"
+    resolution: int = -1
+    white_background: bool = False
+    eval: bool = False
+    llffhold: int = 83
+    # partition knobs (legacy VastGaussian grid partitioner)
+    m_region: int = 3
+    n_region: int = 3
+    extend_rate: float = 0.2
+    visible_rate: float = 0.25
+    # Manhattan alignment
+    manhattan: bool = False
+    platform: str = ""      # "cc" (cloudcompare) | "tj" (threejs)
+    pos: str = "0 0 0"
+    rot: str = "0 0 0"
+
+
+@dataclass
+class OptimConfig:
+    """OptimizationParams (arguments/__init__.py:88-114)."""
+
+    iterations: int = 30_000
+    position_lr_init: float = 0.00016
+    position_lr_final: float = 0.0000016
+    position_lr_delay_mult: float = 0.01
+    position_lr_max_steps: int = 30_000
+    feature_lr: float = 0.0025
+    opacity_lr: float = 0.05
+    scaling_lr: float = 0.005
+    rotation_lr: float = 0.001
+    percent_dense: float = 0.01
+    lambda_dssim: float = 0.2
+    densification_interval: int = 200
+    opacity_reset_interval: int = 3000
+    densify_from_iter: int = 1000
+    densify_until_iter: int = 30_000
+    densify_grad_threshold: float = 0.0002
+    random_background: bool = False
+    appearance_embeddings_lr: float = 0.001
+    appearance_network_lr: float = 0.001
+    # TPU additions (static capacities; reference grows dynamically)
+    capacity: int = 1 << 20          # per-block Gaussian slot cap (<= 6M ref)
+    max_per_tile: int = 1024
+    pairs_per_gaussian: int = 16
+    min_opacity: float = 0.005
+
+
+@dataclass
+class PipelineConfig:
+    """PipelineParams (arguments/__init__.py:81-86)."""
+
+    convert_SHs_python: bool = False
+    compute_cov3D_python: bool = False
+    debug: bool = False
+    use_appearance: bool = True
+
+
+@dataclass
+class TrainRunConfig:
+    model: ModelConfig = field(default_factory=ModelConfig)
+    optim: OptimConfig = field(default_factory=OptimConfig)
+    pipeline: PipelineConfig = field(default_factory=PipelineConfig)
+    test_iterations: List[int] = field(default_factory=lambda: [7_000, 30_000])
+    save_iterations: List[int] = field(default_factory=lambda: [7_000, 30_000])
+    checkpoint_iterations: List[int] = field(default_factory=list)
+    start_checkpoint: Optional[str] = None
+    seed: int = 0
+
+
+def save_cfg_args(model_path: str, cfg: TrainRunConfig) -> None:
+    """Persist config like train.py:177-178 writes cfg_args (JSON, safe)."""
+    os.makedirs(model_path, exist_ok=True)
+    with open(os.path.join(model_path, "cfg_args.json"), "w") as f:
+        json.dump(dataclasses.asdict(cfg), f, indent=2)
+
+
+def load_cfg_args(model_path: str) -> TrainRunConfig:
+    with open(os.path.join(model_path, "cfg_args.json")) as f:
+        d = json.load(f)
+    return TrainRunConfig(
+        model=ModelConfig(**d["model"]),
+        optim=OptimConfig(**d["optim"]),
+        pipeline=PipelineConfig(**d["pipeline"]),
+        test_iterations=d.get("test_iterations", [7_000, 30_000]),
+        save_iterations=d.get("save_iterations", [7_000, 30_000]),
+        checkpoint_iterations=d.get("checkpoint_iterations", []),
+        start_checkpoint=d.get("start_checkpoint"),
+        seed=d.get("seed", 0),
+    )

@@ -1,0 +1,192 @@
+"""Host-side training loop for one scene/block.
+
+Mirrors training() (train.py:40-243): random camera order per epoch, SH
+degree warm-up (+1 every 1000 iters), densify cadence (from iter 1000 to
+30000 every 200 while under capacity), opacity reset every 3000, PLY saves
+at save_iterations, L1/PSNR eval at test_iterations, and full checkpoints.
+
+The GUI socket poll (network_gui) lives in pcp_tpu.viewer and is optional.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import random
+import time
+from typing import Callable, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pcp_tpu.models import gaussians as G
+from pcp_tpu.models.appearance import init_appearance
+from pcp_tpu.scene import cameras as cam_mod
+from pcp_tpu.scene.dataset import SceneInfo, split_train_test
+from pcp_tpu.train import checkpoint as ckpt
+from pcp_tpu.train import optim
+from pcp_tpu.train.config import TrainRunConfig, save_cfg_args
+from pcp_tpu.train.step import (
+    TrainState,
+    make_densify_step,
+    make_train_step,
+    opacity_reset_step,
+    render_gaussians,
+)
+from pcp_tpu.utils.image import psnr
+
+
+def init_state(
+    scene: SceneInfo, cfg: TrainRunConfig, image_size, key
+) -> TrainState:
+    gcfg = G.GaussianConfig(
+        sh_degree=cfg.model.sh_degree, capacity=cfg.optim.capacity,
+        percent_dense=cfg.optim.percent_dense,
+    )
+    params, alive = G.create_from_pcd(scene.points, scene.colors, gcfg)
+    use_app = cfg.pipeline.use_appearance
+    app = init_appearance(key, image_size) if use_app else None
+    return TrainState(
+        params=params,
+        app=app,
+        opt_g=optim.init_adam(params),
+        opt_a=optim.init_adam(app) if use_app else None,
+        alive=alive,
+        stats=G.init_densify_stats(cfg.optim.capacity),
+    )
+
+
+def evaluate_cameras(state, cams, sh_degree, background, ocfg) -> Dict[str, float]:
+    """L1/PSNR over held-out cameras (training_report, train.py:188-243)."""
+    l1s, psnrs = [], []
+    for cam in cams:
+        viewmat, intrin = cam_mod.camera_device_arrays(cam)
+        img, _ = render_gaussians(
+            state.params, state.alive, viewmat, intrin,
+            (cam.width, cam.height), background, sh_degree,
+            max_per_tile=ocfg.max_per_tile,
+            max_pairs=ocfg.pairs_per_gaussian * state.params["xyz"].shape[0],
+        )
+        img = jnp.clip(img, 0.0, 1.0)
+        gt = jnp.asarray(cam.gt_image)
+        l1s.append(float(jnp.mean(jnp.abs(img - gt))))
+        psnrs.append(float(psnr(img[None], gt[None])[0]))
+    return {
+        "l1": float(np.mean(l1s)) if l1s else 0.0,
+        "psnr": float(np.mean(psnrs)) if psnrs else 0.0,
+    }
+
+
+def train_scene(
+    scene: SceneInfo,
+    cfg: TrainRunConfig,
+    *,
+    save_name: str = "point_cloud",
+    log_fn: Optional[Callable[[str], None]] = print,
+    state: Optional[TrainState] = None,
+    start_iter: int = 0,
+) -> TrainState:
+    """Train one scene/block; writes outputs under cfg.model.model_path.
+
+    ``save_name`` controls the PLY naming: Scene saves `point_cloud_1.ply`,
+    PartitionScene `{id}_point_cloud.ply` (scene/__init__.py:81,167) — pass
+    the stem accordingly.
+    """
+    model_path = cfg.model.model_path
+    os.makedirs(model_path, exist_ok=True)
+    save_cfg_args(model_path, cfg)
+    ocfg = cfg.optim
+
+    train_infos, test_infos = split_train_test(
+        scene.cameras, cfg.model.eval, cfg.model.llffhold
+    )
+    cams = [cam_mod.from_info(i, cfg.model.resolution) for i in train_infos]
+    test_cams = [cam_mod.from_info(i, cfg.model.resolution) for i in test_infos]
+    if not cams:
+        raise ValueError("no training cameras")
+    sizes = {(c.width, c.height) for c in cams}
+    if len(sizes) != 1:
+        raise NotImplementedError(
+            f"mixed image sizes per block not supported in the jitted path: {sizes}"
+        )
+    w, h = next(iter(sizes))
+
+    background = jnp.asarray(
+        [1.0, 1.0, 1.0] if cfg.model.white_background else [0.0, 0.0, 0.0],
+        jnp.float32,
+    )
+    key = jax.random.PRNGKey(cfg.seed)
+    if state is None:
+        key, init_key = jax.random.split(key)
+        state = init_state(scene, cfg, (w, h), init_key)
+
+    step_fn = make_train_step(
+        ocfg, (w, h), scene.extent, use_appearance=cfg.pipeline.use_appearance
+    )
+    densify_fn = make_densify_step(ocfg, scene.extent)
+
+    rng = random.Random(cfg.seed)
+    stack: List[int] = []
+    ema_loss = 0.0
+    t0 = time.time()
+    for it in range(start_iter + 1, ocfg.iterations + 1):
+        if not stack:
+            stack = list(range(len(cams)))
+            rng.shuffle(stack)
+        cam = cams[stack.pop()]
+        sh_degree = min(cfg.model.sh_degree, (it - 1) // 1000)
+
+        viewmat, intrin = cam_mod.camera_device_arrays(cam)
+        state, metrics = step_fn(
+            state,
+            viewmat,
+            intrin,
+            jnp.asarray(cam.gt_image),
+            jnp.int32(cam.uid),
+            background,
+            sh_degree,
+        )
+
+        # --- densification cadence (train.py:140-152) ---
+        if ocfg.densify_from_iter <= it <= ocfg.densify_until_iter:
+            if it % ocfg.densification_interval == 0:
+                key, dkey = jax.random.split(key)
+                state = densify_fn(
+                    state, dkey, it > ocfg.opacity_reset_interval
+                )
+            if it % ocfg.opacity_reset_interval == 0 or (
+                cfg.model.white_background and it == ocfg.densify_from_iter
+            ):
+                state = opacity_reset_step(state)
+
+        if log_fn and (it % 100 == 0 or it == 1):
+            loss = float(metrics["loss"])
+            ema_loss = loss if it == 1 else 0.6 * ema_loss + 0.4 * loss
+            log_fn(
+                f"iter {it:6d} loss {ema_loss:.5f} "
+                f"alive {int(np.asarray(state.alive).sum())} "
+                f"({(time.time() - t0):.1f}s)"
+            )
+        if it in cfg.test_iterations and test_cams:
+            m = evaluate_cameras(state, test_cams, sh_degree, background, ocfg)
+            if log_fn:
+                log_fn(f"[eval {it}] test l1 {m['l1']:.4f} psnr {m['psnr']:.2f}")
+            with open(os.path.join(model_path, f"eval_{it}.json"), "w") as f:
+                json.dump(m, f)
+        if it in cfg.save_iterations:
+            save_model(state, model_path, it, save_name)
+        if it in cfg.checkpoint_iterations:
+            ckpt.save(os.path.join(model_path, f"chkpnt{it}.npz"), state, it)
+
+    save_model(state, model_path, ocfg.iterations, save_name)
+    return state
+
+
+def save_model(state: TrainState, model_path: str, iteration: int, stem: str):
+    """PLY snapshot under point_cloud/iteration_<it>/ (scene/__init__.py:85-87)."""
+    out_dir = os.path.join(model_path, "point_cloud", f"iteration_{iteration}")
+    os.makedirs(out_dir, exist_ok=True)
+    G.save_gaussians_ply(
+        os.path.join(out_dir, f"{stem}.ply"), state.params, state.alive
+    )

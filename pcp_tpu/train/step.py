@@ -1,0 +1,241 @@
+"""The jitted training step: render -> appearance decouple -> loss -> Adam.
+
+Redesign of the reference's per-iteration body (train.py:94-157) as one pure
+function compiled once per (image size, SH degree). Differences from the
+CUDA/torch original, by TPU design:
+
+- gradients come from JAX autodiff through the chunked-scan rasterizer
+  (deterministic; replaces backward.cu atomicAdd);
+- the densification signal (per-Gaussian screen-space position gradient,
+  train.py:140-147) is harvested by differentiating w.r.t. a zero
+  ``means2d_offset`` probe instead of retain_grad on a dummy tensor
+  (gaussian_renderer/__init__.py:23-31);
+- densify/prune/opacity-reset are *separate* jitted transforms on the same
+  fixed-capacity pytree (models/gaussians.py), invoked by the host loop on
+  the reference cadence.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from pcp_tpu.models import gaussians as G
+from pcp_tpu.models.appearance import decouple_appearance
+from pcp_tpu.ops.projection import CameraIntrin
+from pcp_tpu.ops.rasterize import rasterize
+from pcp_tpu.train import optim
+from pcp_tpu.train.config import OptimConfig
+from pcp_tpu.utils.general import expon_lr
+from pcp_tpu.utils.loss import l1_loss, ssim
+
+
+class TrainState(NamedTuple):
+    """Everything that evolves during training (a single pytree)."""
+
+    params: Dict[str, jnp.ndarray]       # Gaussian params (capacity-padded)
+    app: Any                             # appearance {embeddings, net} or None
+    opt_g: Dict[str, Any]                # Adam state for Gaussians
+    opt_a: Any                           # Adam state for appearance or None
+    alive: jnp.ndarray                   # (C,) bool
+    stats: Dict[str, jnp.ndarray]        # densify accumulators
+
+
+def gaussian_lrs(ocfg: OptimConfig, spatial_lr_scale: float):
+    """Per-group LRs (training_setup, gaussian_model.py:159-179): xyz gets
+    the Plenoxels exponential schedule scaled by the scene extent."""
+    xyz_sched = functools.partial(
+        expon_lr,
+        lr_init=ocfg.position_lr_init * spatial_lr_scale,
+        lr_final=ocfg.position_lr_final * spatial_lr_scale,
+        lr_delay_steps=0,
+        lr_delay_mult=ocfg.position_lr_delay_mult,
+        max_steps=ocfg.position_lr_max_steps,
+    )
+    return {
+        "xyz": xyz_sched,
+        "f_dc": ocfg.feature_lr,
+        "f_rest": ocfg.feature_lr / 20.0,
+        "scaling": ocfg.scaling_lr,
+        "rotation": ocfg.rotation_lr,
+        "opacity": ocfg.opacity_lr,
+    }
+
+
+def appearance_lrs(ocfg: OptimConfig):
+    return {
+        "embeddings": ocfg.appearance_embeddings_lr,
+        "net": ocfg.appearance_network_lr,
+    }
+
+
+def render_gaussians(
+    params,
+    alive,
+    viewmat,
+    intrin: CameraIntrin,
+    image_size,
+    background,
+    sh_degree: int,
+    *,
+    max_per_tile: int = 1024,
+    max_pairs: int = None,
+    means2d_offset=None,
+    tan_fov=None,
+):
+    """Activate params and rasterize — the render() front-end
+    (gaussian_renderer/__init__.py:18-100)."""
+    opac = G.opacity_act(params["opacity"])[:, 0] * alive.astype(jnp.float32)
+    return rasterize(
+        params["xyz"],
+        G.scaling_act(params["scaling"]),
+        params["rotation"],
+        opac,
+        G.sh_coeffs(params),
+        viewmat,
+        intrin,
+        image_size,
+        background,
+        sh_degree,
+        max_per_tile=max_per_tile,
+        max_pairs=max_pairs,
+        means2d_offset=means2d_offset,
+        tan_fov=tan_fov,
+    )
+
+
+def make_train_step(
+    ocfg: OptimConfig,
+    image_size,
+    spatial_lr_scale: float,
+    *,
+    use_appearance: bool = True,
+):
+    """Build the jitted step for one image size. ``sh_degree`` is a static
+    argument (4 compile variants over a run, train.py:89-91)."""
+    w, h = int(image_size[0]), int(image_size[1])
+    lrs_g = gaussian_lrs(ocfg, spatial_lr_scale)
+    lrs_a = appearance_lrs(ocfg)
+    n_pix = float(w * h)
+
+    @functools.partial(jax.jit, static_argnames=("sh_degree",), donate_argnums=(0,))
+    def train_step(
+        state: TrainState,
+        viewmat,
+        intrin: CameraIntrin,
+        gt,                      # (H, W, 3)
+        view_idx,                # () int32 appearance embedding id
+        background,              # (3,)
+        sh_degree: int,
+    ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+        probe0 = jnp.zeros_like(state.params["xyz"][:, :2])
+
+        def loss_fn(params, app, probe):
+            image, aux = render_gaussians(
+                params,
+                state.alive,
+                viewmat,
+                intrin,
+                (w, h),
+                background,
+                sh_degree,
+                max_per_tile=ocfg.max_per_tile,
+                max_pairs=ocfg.pairs_per_gaussian * params["xyz"].shape[0],
+                means2d_offset=probe,
+            )
+            if use_appearance and app is not None:
+                decoupled, _ = decouple_appearance(image, app, view_idx)
+            else:
+                decoupled = image
+            chw = lambda x: jnp.transpose(x, (2, 0, 1))
+            loss = (1.0 - ocfg.lambda_dssim) * l1_loss(decoupled, gt) + (
+                ocfg.lambda_dssim
+            ) * (1.0 - ssim(chw(image), chw(gt)))
+            return loss, aux
+
+        (loss, aux), grads = jax.value_and_grad(
+            loss_fn, argnums=(0, 1, 2), has_aux=True
+        )(state.params, state.app, probe0)
+        g_gauss, g_app, g_probe = grads
+
+        # --- densify bookkeeping (add_densification_stats,
+        # gaussian_model.py:431-435; train.py:140-147) ---
+        # CUDA accumulates NDC-frame gradients: pixel grad * (0.5 W, 0.5 H)
+        # (backward.cu ddelx_dx). Match that so densify_grad_threshold=0.0002
+        # keeps its reference meaning.
+        gnorm = jnp.linalg.norm(
+            g_probe * jnp.asarray([0.5 * w, 0.5 * h]), axis=-1
+        )
+        visible = aux["visible"] & state.alive
+        stats = {
+            "grad_accum": state.stats["grad_accum"] + jnp.where(visible, gnorm, 0.0),
+            "denom": state.stats["denom"] + visible.astype(jnp.float32),
+            "max_radii2d": jnp.maximum(
+                state.stats["max_radii2d"], jnp.where(visible, aux["radii"], 0.0)
+            ),
+        }
+
+        # Dead slots: make sure no gradient leaks into them.
+        dead = ~state.alive
+        g_gauss = jax.tree_util.tree_map(
+            lambda g: jnp.where(dead.reshape((-1,) + (1,) * (g.ndim - 1)), 0.0, g),
+            g_gauss,
+        )
+
+        params, opt_g = optim.adam_step(state.params, g_gauss, state.opt_g, lrs_g)
+        if use_appearance and state.app is not None:
+            app, opt_a = optim.adam_step(state.app, g_app, state.opt_a, lrs_a)
+        else:
+            app, opt_a = state.app, state.opt_a
+
+        new_state = TrainState(params, app, opt_g, opt_a, state.alive, stats)
+        metrics = {
+            "loss": loss,
+            "n_pairs": aux["n_pairs"],
+            "n_visible": jnp.sum(visible),
+            "overflow": aux["n_pairs"]
+            > ocfg.pairs_per_gaussian * state.params["xyz"].shape[0],
+        }
+        return new_state, metrics
+
+    return train_step
+
+
+def make_densify_step(ocfg: OptimConfig, extent: float):
+    """Jitted densify+prune incl. optimizer moment surgery."""
+
+    @functools.partial(jax.jit, static_argnames=("prune_big",), donate_argnums=(0,))
+    def densify_step(state: TrainState, key, prune_big: bool):
+        params, alive, written = G.densify_and_prune(
+            state.params,
+            state.alive,
+            state.stats,
+            key,
+            grad_threshold=ocfg.densify_grad_threshold,
+            min_opacity=ocfg.min_opacity,
+            extent=extent,
+            percent_dense=ocfg.percent_dense,
+            prune_big_screen=prune_big,
+        )
+        opt_g = optim.zero_moments(state.opt_g, written)
+        stats = G.init_densify_stats(alive.shape[0])
+        return TrainState(params, state.app, opt_g, state.opt_a, alive, stats)
+
+    return densify_step
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def opacity_reset_step(state: TrainState) -> TrainState:
+    """reset_opacity + moment surgery on the opacity group
+    (gaussian_model.py:231-234, train.py:150-152)."""
+    params = G.reset_opacity(state.params, state.alive)
+    c = state.alive.shape[0]
+    opt_g = optim.zero_moments(
+        state.opt_g, jnp.ones((c,), bool), keys=("opacity",)
+    )
+    return TrainState(
+        params, state.app, opt_g, state.opt_a, state.alive, state.stats
+    )

@@ -1,0 +1,111 @@
+"""Synthetic COLMAP scene factory for end-to-end tests.
+
+Builds a tiny scene whose ground-truth images are themselves rendered from a
+known Gaussian set with pcp_tpu's rasterizer, so training on it must converge
+(self-realisable target). Written as a real COLMAP dataset
+(images/ + sparse/0/*.bin) so the loaders get exercised too — the layout the
+reference consumes (README.md:106-112).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+
+def look_at_w2c(pos, target, up=(0.0, 0.0, 1.0)):
+    """World->camera extrinsics (R, t), camera +z toward ``target``,
+    +y down-ish (COLMAP convention)."""
+    pos = np.asarray(pos, np.float64)
+    fwd = np.asarray(target, np.float64) - pos
+    fwd /= np.linalg.norm(fwd)
+    upv = np.asarray(up, np.float64)
+    right = np.cross(fwd, upv)
+    if np.linalg.norm(right) < 1e-6:
+        right = np.cross(fwd, np.array([0.0, 1.0, 0.0]))
+    right /= np.linalg.norm(right)
+    down = np.cross(fwd, right)
+    R = np.stack([right, down, fwd], axis=0)  # rows: cam axes in world
+    t = -R @ pos
+    return R, t
+
+
+def make_gaussian_cloud(rng, n=120, extent=1.5):
+    xyz = rng.uniform(-extent, extent, size=(n, 3)).astype(np.float32)
+    rgb = rng.uniform(0.1, 0.9, size=(n, 3)).astype(np.float32)
+    scales = rng.uniform(0.08, 0.22, size=(n, 3)).astype(np.float32)
+    quats = rng.normal(size=(n, 4)).astype(np.float32)
+    opac = rng.uniform(0.5, 0.95, size=n).astype(np.float32)
+    return xyz, rgb, scales, quats, opac
+
+
+def render_true_scene(xyz, rgb, scales, quats, opac, R, t, fx, fy, W, H):
+    import jax.numpy as jnp
+
+    from pcp_tpu.ops.projection import CameraIntrin
+    from pcp_tpu.ops.rasterize import rasterize
+    from pcp_tpu.utils.sh import rgb_to_sh
+
+    viewmat = np.eye(4, dtype=np.float32)
+    viewmat[:3, :3] = R
+    viewmat[:3, 3] = t
+    sh = rgb_to_sh(jnp.asarray(rgb))[:, None, :]
+    intrin = CameraIntrin(
+        fx=jnp.float32(fx), fy=jnp.float32(fy),
+        cx=jnp.float32(W / 2), cy=jnp.float32(H / 2),
+    )
+    img, _ = rasterize(
+        jnp.asarray(xyz), jnp.asarray(scales), jnp.asarray(quats),
+        jnp.asarray(opac), sh, jnp.asarray(viewmat), intrin, (W, H),
+        jnp.zeros(3), 0,
+    )
+    return np.clip(np.asarray(img), 0.0, 1.0)
+
+
+def write_synthetic_scene(
+    out_dir: str,
+    rng=None,
+    n_points: int = 120,
+    n_cams: int = 10,
+    W: int = 64,
+    H: int = 48,
+    radius: float = 5.0,
+    image_ext: str = "png",
+):
+    """Create `<out_dir>/{images/, sparse/0/*.bin}`; returns the true
+    Gaussian tuple for oracle comparisons."""
+    from PIL import Image as PILImage
+
+    from pcp_tpu.io import colmap
+
+    rng = rng or np.random.default_rng(0)
+    xyz, rgb, scales, quats, opac = make_gaussian_cloud(rng, n_points)
+    fx = fy = 0.9 * W
+
+    os.makedirs(os.path.join(out_dir, "images"), exist_ok=True)
+    cams = {1: colmap.Camera(1, "PINHOLE", W, H, np.array([fx, fy, W / 2, H / 2]))}
+    imgs = {}
+    from pcp_tpu.utils.graphics import rotmat_to_qvec
+
+    for i in range(n_cams):
+        ang = 2 * np.pi * i / n_cams
+        pos = np.array(
+            [radius * np.cos(ang), radius * np.sin(ang), 1.5 + 0.5 * np.sin(3 * ang)]
+        )
+        R, t = look_at_w2c(pos, (0.0, 0.0, 0.0))
+        img = render_true_scene(xyz, rgb, scales, quats, opac, R, t, fx, fy, W, H)
+        name = f"im{i:03d}.{image_ext}"
+        PILImage.fromarray((img * 255).astype(np.uint8)).save(
+            os.path.join(out_dir, "images", name)
+        )
+        npts = min(20, n_points)
+        imgs[i + 1] = colmap.Image(
+            i + 1, rotmat_to_qvec(R), t, 1, name,
+            xys=np.zeros((npts, 2)),
+            point3D_ids=np.arange(npts, dtype=np.int64),
+        )
+
+    pts = colmap.Points3D.from_arrays(xyz, (rgb * 255).astype(np.uint8))
+    colmap.write_model(cams, imgs, pts, os.path.join(out_dir, "sparse", "0"), ext=".bin")
+    return xyz, rgb, scales, quats, opac
