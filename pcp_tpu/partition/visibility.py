@@ -1,0 +1,121 @@
+"""Visibility-based camera selection: batched projection + hull-area ratio.
+
+Reference: shen_partation_densify.py:410-539, 890-954. For each block, the
+voxel-downsampled block cloud is projected into every assigned camera; the
+camera is kept iff area(convex hull of projections ∩ image rect) / image
+area >= 0.45 (:930). The reference does this with a 48-thread pool issuing
+one torch CUDA matmul per camera; here one batched einsum projects the cloud
+into all cameras at once, and the per-camera hulls (tiny work) run on host
+via scipy.
+
+Note: the reference's live "in front of camera" test uses the +Y axis
+(points_camera[:, 1] > 0, shen_partation_densify.py:447) — a dataset-specific
+hack (SURVEY §2.5 defect 5; the legacy copy uses +Z, shen_partition.py:501).
+We use the geometrically correct +Z.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence, Tuple
+
+import numpy as np
+
+from pcp_tpu.scene.dataset import CameraInfo
+
+VISIBLE_RATE_THRESHOLD = 0.45  # shen_partation_densify.py:930
+
+
+def project_points_batched(
+    points: np.ndarray,          # (N, 3)
+    Rs: np.ndarray,              # (K, 3, 3) world->cam
+    ts: np.ndarray,              # (K, 3)
+    fx: np.ndarray, fy: np.ndarray, cx: np.ndarray, cy: np.ndarray,  # (K,)
+) -> Tuple[np.ndarray, np.ndarray]:
+    """All points into all cameras at once.
+
+    Returns (pix (K, N, 2), in_front (K, N) bool).
+    """
+    p_cam = np.einsum("kij,nj->kni", Rs, points) + ts[:, None, :]
+    z = p_cam[..., 2]
+    in_front = z > 1e-6
+    zs = np.where(in_front, z, 1.0)
+    px = p_cam[..., 0] / zs * fx[:, None] + cx[:, None]
+    py = p_cam[..., 1] / zs * fy[:, None] + cy[:, None]
+    return np.stack([px, py], axis=-1), in_front
+
+
+def _clip_poly_halfplane(poly: np.ndarray, a: float, b: float, c: float) -> np.ndarray:
+    """Sutherland–Hodgman clip of polygon (M, 2) to ax + by <= c."""
+    if len(poly) == 0:
+        return poly
+    d = poly @ np.array([a, b]) - c
+    out = []
+    m = len(poly)
+    for i in range(m):
+        j = (i + 1) % m
+        pi, pj = poly[i], poly[j]
+        di, dj = d[i], d[j]
+        if di <= 0:
+            out.append(pi)
+            if dj > 0:
+                out.append(pi + (pj - pi) * (di / (di - dj)))
+        elif dj <= 0:
+            out.append(pi + (pj - pi) * (di / (di - dj)))
+    return np.asarray(out) if out else np.zeros((0, 2))
+
+
+def _poly_area(poly: np.ndarray) -> float:
+    if len(poly) < 3:
+        return 0.0
+    x, y = poly[:, 0], poly[:, 1]
+    return 0.5 * abs(np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1)))
+
+
+def hull_area_ratio(pix: np.ndarray, width: float, height: float) -> float:
+    """area(convexhull(pix) ∩ [0,W]x[0,H]) / (W*H) — run_graham_scan
+    semantics (graham_scan.py:31-105)."""
+    if len(pix) <= 3:
+        return 0.0
+    from scipy.spatial import ConvexHull, QhullError
+
+    try:
+        hull = ConvexHull(pix)
+    except QhullError:
+        return 0.0
+    poly = pix[hull.vertices]
+    for a, b, c in ((-1, 0, 0), (1, 0, width), (0, -1, 0), (0, 1, height)):
+        poly = _clip_poly_halfplane(poly, a, b, c)
+        if len(poly) == 0:
+            return 0.0
+    return _poly_area(poly) / (width * height)
+
+
+def select_cameras_by_visibility(
+    block_points: np.ndarray,
+    cameras: Sequence[CameraInfo],
+    threshold: float = VISIBLE_RATE_THRESHOLD,
+    cam_batch: int = 256,
+) -> List[int]:
+    """Filter ``cameras`` to those that see >= threshold of the image area
+    covered by the block's hull (visibility_based_camera_selection,
+    shen_partation_densify.py:911-954). Returns kept camera uids."""
+    if len(cameras) == 0 or len(block_points) < 4:
+        return []
+    Rs = np.stack([c.R for c in cameras])
+    ts = np.stack([c.t for c in cameras])
+    focals = np.array([c.focal() for c in cameras])
+    cxs = np.array([c.width / 2.0 for c in cameras])
+    cys = np.array([c.height / 2.0 for c in cameras])
+
+    kept: List[int] = []
+    for s in range(0, len(cameras), cam_batch):
+        sl = slice(s, min(s + cam_batch, len(cameras)))
+        pix, front = project_points_batched(
+            block_points, Rs[sl], ts[sl],
+            focals[sl, 0], focals[sl, 1], cxs[sl], cys[sl],
+        )
+        for k, cam in enumerate(cameras[sl]):
+            pts = pix[k][front[k]]
+            if hull_area_ratio(pts, cam.width, cam.height) >= threshold:
+                kept.append(cam.uid)
+    return kept
