@@ -24,6 +24,7 @@ gradient accumulators, max 2D radii), mirroring gaussian_model.py:60-66,
 
 from __future__ import annotations
 
+import math
 from dataclasses import dataclass
 from typing import Dict, Tuple
 
@@ -272,7 +273,7 @@ def reset_opacity(params: Params, alive: jnp.ndarray) -> Params:
     """Clamp all opacities to at most 0.01 (reset_opacity,
     gaussian_model.py:231-234). Returns updated params; the caller must also
     zero the opacity optimizer moments (replace_tensor_to_optimizer)."""
-    cap = float(inverse_sigmoid(0.01))
+    cap = math.log(0.01 / 0.99)  # inverse_sigmoid(0.01), host-side
     new_op = jnp.minimum(params["opacity"], cap)
     out = dict(params)
     out["opacity"] = jnp.where(_bmask(alive, new_op), new_op, params["opacity"])

@@ -1,0 +1,290 @@
+"""Block-parallel fleet training: all partitions at once over a device mesh.
+
+Design (SURVEY §2.4, §7 step 7): each spatial block is an independent
+training job with identical array shapes (capacity padding), so the fleet is
+one stacked TrainState with a leading ``blocks`` axis, sharded over a 1-D
+`jax.sharding.Mesh`. The per-block step body (train.step.train_step_impl) is
+vmapped over the local blocks inside `shard_map`; XLA compiles a single SPMD
+program, each chip running its blocks with zero inter-chip traffic in the
+step (the reference's "communication" was the filesystem; ours is the mesh
+dispatch + a final host gather for PLY export).
+
+Blocks are padded to a multiple of the mesh size with inert dummies; their
+outputs are dropped on unstack.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, List, NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from pcp_tpu.ops.projection import CameraIntrin
+from pcp_tpu.train.config import OptimConfig
+from pcp_tpu.train.step import (
+    TrainState,
+    densify_impl,
+    opacity_reset_impl,
+    train_step_impl,
+)
+
+
+class FleetState(NamedTuple):
+    """TrainState with a leading blocks axis + per-block scalars."""
+
+    state: TrainState          # every leaf: (B, ...)
+    extents: jnp.ndarray       # (B,) spatial_lr_scale per block
+    valid: jnp.ndarray         # (B,) bool — False for padding blocks
+
+
+def block_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:
+    """1-D ("blocks",) mesh over the available devices."""
+    if devices is None:
+        devices = jax.devices()
+        if n_devices is not None:
+            devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), ("blocks",))
+
+
+def stack_states(states: Sequence[TrainState]) -> TrainState:
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs, axis=0), *states)
+
+
+def unstack_state(stacked: TrainState, i: int) -> TrainState:
+    return jax.tree_util.tree_map(lambda x: x[i], stacked)
+
+
+def pad_blocks(
+    states: List[TrainState], extents: List[float], n_shards: int
+) -> FleetState:
+    """Stack block states, padding to a multiple of the mesh size by
+    repeating the last block (marked invalid)."""
+    b = len(states)
+    pad = (-b) % n_shards
+    states = list(states) + [states[-1]] * pad
+    extents = list(extents) + [extents[-1]] * pad
+    valid = np.zeros(len(states), bool)
+    valid[:b] = True
+    return FleetState(
+        state=stack_states(states),
+        extents=jnp.asarray(extents, jnp.float32),
+        valid=jnp.asarray(valid),
+    )
+
+
+def shard_fleet(fleet: FleetState, mesh: Mesh) -> FleetState:
+    """Place the stacked pytree with the blocks axis sharded over the mesh."""
+    sharding = NamedSharding(mesh, P("blocks"))
+
+    def put(x):
+        return jax.device_put(x, sharding)
+
+    return jax.tree_util.tree_map(put, fleet)
+
+
+def make_fleet_step(
+    ocfg: OptimConfig,
+    image_size,
+    mesh: Mesh,
+    *,
+    use_appearance: bool = True,
+):
+    """Compile the SPMD fleet step.
+
+    Inputs per call: fleet (sharded), viewmats (B,4,4), intrins (B,4 stacked
+    CameraIntrin), gts (B,H,W,3), view_idx (B,), background (3,), sh_degree
+    (static). One XLA program; no collectives in the hot path.
+    """
+    impl = functools.partial(
+        train_step_impl,
+        ocfg=ocfg,
+        image_size=image_size,
+        use_appearance=use_appearance,
+    )
+
+    def per_block(state, viewmat, intrin, gt, view_idx, background, extent,
+                  sh_degree):
+        return impl(
+            state, viewmat, intrin, gt, view_idx, background, extent,
+            sh_degree=sh_degree,
+        )
+
+    def local_shard(fleet_state, extents, viewmats, intrins, gts, view_idx,
+                    background, sh_degree):
+        return jax.vmap(
+            lambda s, e, vm, it, g, vi: per_block(
+                s, vm, it, g, vi, background, e, sh_degree
+            )
+        )(fleet_state, extents, viewmats, intrins, gts, view_idx)
+
+    spec_b = P("blocks")
+    spec_r = P()
+
+    @functools.partial(jax.jit, static_argnames=("sh_degree",), donate_argnums=(0,))
+    def fleet_step(fleet: FleetState, viewmats, intrins, gts, view_idx,
+                   background, sh_degree: int):
+        f = shard_map(
+            functools.partial(local_shard, sh_degree=sh_degree),
+            mesh=mesh,
+            in_specs=(spec_b, spec_b, spec_b, spec_b, spec_b, spec_b, spec_r),
+            out_specs=(spec_b, spec_b),
+            check_vma=False,
+        )
+        new_state, metrics = f(
+            fleet.state, fleet.extents, viewmats, intrins, gts, view_idx,
+            background,
+        )
+        return FleetState(new_state, fleet.extents, fleet.valid), metrics
+
+    return fleet_step
+
+
+def make_fleet_densify(ocfg: OptimConfig, mesh: Mesh):
+    spec_b = P("blocks")
+
+    def local_shard(state, keys, extents, prune_big):
+        return jax.vmap(
+            lambda s, k, e: densify_impl(s, k, e, ocfg=ocfg, prune_big=prune_big)
+        )(state, keys, extents)
+
+    @functools.partial(jax.jit, static_argnames=("prune_big",), donate_argnums=(0,))
+    def fleet_densify(fleet: FleetState, keys, prune_big: bool):
+        f = shard_map(
+            functools.partial(local_shard, prune_big=prune_big),
+            mesh=mesh,
+            in_specs=(spec_b, spec_b, spec_b),
+            out_specs=spec_b,
+            check_vma=False,
+        )
+        new_state = f(fleet.state, keys, fleet.extents)
+        return FleetState(new_state, fleet.extents, fleet.valid)
+
+    return fleet_densify
+
+
+def make_fleet_opacity_reset(mesh: Mesh):
+    spec_b = P("blocks")
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def fleet_reset(fleet: FleetState):
+        f = shard_map(
+            jax.vmap(opacity_reset_impl), mesh=mesh,
+            in_specs=(spec_b,), out_specs=spec_b, check_vma=False,
+        )
+        return FleetState(f(fleet.state), fleet.extents, fleet.valid)
+
+    return fleet_reset
+
+
+def stack_intrins(intrins: Sequence[CameraIntrin]) -> CameraIntrin:
+    return CameraIntrin(
+        fx=jnp.asarray([i.fx for i in intrins]),
+        fy=jnp.asarray([i.fy for i in intrins]),
+        cx=jnp.asarray([i.cx for i in intrins]),
+        cy=jnp.asarray([i.cy for i in intrins]),
+    )
+
+
+def train_blocks_parallel(
+    block_scenes,                  # List[SceneInfo] (one per block)
+    cfg,                           # TrainRunConfig
+    *,
+    mesh: Optional[Mesh] = None,
+    iterations: Optional[int] = None,
+    log_fn=print,
+    seed: int = 0,
+) -> List[TrainState]:
+    """Train every block simultaneously on the mesh; returns per-block final
+    states (ordered like ``block_scenes``).
+
+    Host responsibilities per step: pick a random camera per block, stack
+    (viewmat, intrin, gt, uid) across blocks. Device: one SPMD step.
+    """
+    import random as _random
+
+    from pcp_tpu.scene import cameras as cam_mod
+    from pcp_tpu.train.loop import init_state
+
+    if mesh is None:
+        mesh = block_mesh()
+    ocfg = cfg.optim
+    iterations = iterations or ocfg.iterations
+
+    # Per-block camera lists at a uniform resolution.
+    block_cams = []
+    for scene in block_scenes:
+        cams = [cam_mod.from_info(i, cfg.model.resolution) for i in scene.cameras]
+        block_cams.append(cams)
+    sizes = {(c.width, c.height) for cams in block_cams for c in cams}
+    if len(sizes) != 1:
+        raise NotImplementedError(f"fleet requires one image size, got {sizes}")
+    w, h = next(iter(sizes))
+
+    key = jax.random.PRNGKey(seed)
+    states, extents = [], []
+    for bi, scene in enumerate(block_scenes):
+        key, k = jax.random.split(key)
+        states.append(init_state(scene, cfg, (w, h), k))
+        extents.append(scene.extent)
+
+    n_shards = mesh.devices.size
+    fleet = pad_blocks(states, extents, n_shards)
+    fleet = shard_fleet(fleet, mesh)
+    b_pad = int(fleet.valid.shape[0])
+
+    step_fn = make_fleet_step(
+        ocfg, (w, h), mesh, use_appearance=cfg.pipeline.use_appearance
+    )
+    densify_fn = make_fleet_densify(ocfg, mesh)
+    reset_fn = make_fleet_opacity_reset(mesh)
+
+    background = jnp.asarray(
+        [1.0, 1.0, 1.0] if cfg.model.white_background else [0.0, 0.0, 0.0],
+        jnp.float32,
+    )
+    rngs = [_random.Random(seed + 17 * i) for i in range(b_pad)]
+    stacks: List[List[int]] = [[] for _ in range(b_pad)]
+
+    def pick(bi: int):
+        cams = block_cams[min(bi, len(block_cams) - 1)]
+        if not stacks[bi]:
+            stacks[bi] = list(range(len(cams)))
+            rngs[bi].shuffle(stacks[bi])
+        return cams[stacks[bi].pop()]
+
+    for it in range(1, iterations + 1):
+        chosen = [pick(bi) for bi in range(b_pad)]
+        viewmats = jnp.asarray(np.stack([c.viewmat for c in chosen]))
+        intrins = CameraIntrin(
+            fx=jnp.asarray([c.fx for c in chosen], jnp.float32),
+            fy=jnp.asarray([c.fy for c in chosen], jnp.float32),
+            cx=jnp.asarray([c.width / 2.0 for c in chosen], jnp.float32),
+            cy=jnp.asarray([c.height / 2.0 for c in chosen], jnp.float32),
+        )
+        gts = jnp.asarray(np.stack([c.gt_image for c in chosen]))
+        view_idx = jnp.asarray([c.uid for c in chosen], jnp.int32)
+        sh_degree = min(cfg.model.sh_degree, (it - 1) // 1000)
+
+        fleet, metrics = step_fn(
+            fleet, viewmats, intrins, gts, view_idx, background, sh_degree
+        )
+
+        if ocfg.densify_from_iter <= it <= ocfg.densify_until_iter:
+            if it % ocfg.densification_interval == 0:
+                key, k = jax.random.split(key)
+                keys = jax.random.split(k, b_pad)
+                fleet = densify_fn(fleet, keys, it > ocfg.opacity_reset_interval)
+            if it % ocfg.opacity_reset_interval == 0:
+                fleet = reset_fn(fleet)
+
+        if log_fn and (it % 100 == 0 or it == 1):
+            losses = np.asarray(metrics["loss"])[: len(block_scenes)]
+            log_fn(f"fleet iter {it:6d} mean loss {losses.mean():.5f}")
+
+    host_fleet = jax.device_get(fleet)
+    return [unstack_state(host_fleet.state, i) for i in range(len(block_scenes))]

@@ -1,4 +1,4 @@
-"""The jitted training step: render -> appearance decouple -> loss -> Adam.
+"""The training step: render -> appearance decouple -> loss -> Adam.
 
 Redesign of the reference's per-iteration body (train.py:94-157) as one pure
 function compiled once per (image size, SH degree). Differences from the
@@ -12,7 +12,13 @@ CUDA/torch original, by TPU design:
   (gaussian_renderer/__init__.py:23-31);
 - densify/prune/opacity-reset are *separate* jitted transforms on the same
   fixed-capacity pytree (models/gaussians.py), invoked by the host loop on
-  the reference cadence.
+  the reference cadence;
+- the scene extent (spatial_lr_scale / densify size thresholds) is a traced
+  scalar, so the block-parallel fleet (pcp_tpu.parallel) can vmap one
+  compiled step over blocks with different extents.
+
+``train_step_impl`` / ``densify_impl`` are the pure unjitted bodies;
+``make_train_step`` / ``make_densify_step`` wrap them for single-block use.
 """
 
 from __future__ import annotations
@@ -44,9 +50,10 @@ class TrainState(NamedTuple):
     stats: Dict[str, jnp.ndarray]        # densify accumulators
 
 
-def gaussian_lrs(ocfg: OptimConfig, spatial_lr_scale: float):
+def gaussian_lrs(ocfg: OptimConfig, spatial_lr_scale):
     """Per-group LRs (training_setup, gaussian_model.py:159-179): xyz gets
-    the Plenoxels exponential schedule scaled by the scene extent."""
+    the Plenoxels exponential schedule scaled by the scene extent
+    (``spatial_lr_scale`` may be a traced scalar)."""
     xyz_sched = functools.partial(
         expon_lr,
         lr_init=ocfg.position_lr_init * spatial_lr_scale,
@@ -107,6 +114,118 @@ def render_gaussians(
     )
 
 
+def train_step_impl(
+    state: TrainState,
+    viewmat,
+    intrin: CameraIntrin,
+    gt,                      # (H, W, 3)
+    view_idx,                # () int32 appearance embedding id
+    background,              # (3,)
+    extent,                  # () spatial_lr_scale (traced)
+    *,
+    ocfg: OptimConfig,
+    image_size,
+    sh_degree: int,
+    use_appearance: bool,
+) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+    """Pure step body (train.py:94-157). See module docstring."""
+    w, h = int(image_size[0]), int(image_size[1])
+    lrs_g = gaussian_lrs(ocfg, extent)
+    lrs_a = appearance_lrs(ocfg)
+    probe0 = jnp.zeros_like(state.params["xyz"][:, :2])
+
+    def loss_fn(params, app, probe):
+        image, aux = render_gaussians(
+            params,
+            state.alive,
+            viewmat,
+            intrin,
+            (w, h),
+            background,
+            sh_degree,
+            max_per_tile=ocfg.max_per_tile,
+            max_pairs=ocfg.pairs_per_gaussian * params["xyz"].shape[0],
+            means2d_offset=probe,
+        )
+        if use_appearance and app is not None:
+            decoupled, _ = decouple_appearance(image, app, view_idx)
+        else:
+            decoupled = image
+        chw = lambda x: jnp.transpose(x, (2, 0, 1))
+        loss = (1.0 - ocfg.lambda_dssim) * l1_loss(decoupled, gt) + (
+            ocfg.lambda_dssim
+        ) * (1.0 - ssim(chw(image), chw(gt)))
+        return loss, aux
+
+    (loss, aux), grads = jax.value_and_grad(
+        loss_fn, argnums=(0, 1, 2), has_aux=True
+    )(state.params, state.app, probe0)
+    g_gauss, g_app, g_probe = grads
+
+    # --- densify bookkeeping (add_densification_stats,
+    # gaussian_model.py:431-435; train.py:140-147) ---
+    # CUDA accumulates NDC-frame gradients: pixel grad * (0.5 W, 0.5 H)
+    # (backward.cu ddelx_dx). Match that so densify_grad_threshold=0.0002
+    # keeps its reference meaning.
+    gnorm = jnp.linalg.norm(g_probe * jnp.asarray([0.5 * w, 0.5 * h]), axis=-1)
+    visible = aux["visible"] & state.alive
+    stats = {
+        "grad_accum": state.stats["grad_accum"] + jnp.where(visible, gnorm, 0.0),
+        "denom": state.stats["denom"] + visible.astype(jnp.float32),
+        "max_radii2d": jnp.maximum(
+            state.stats["max_radii2d"], jnp.where(visible, aux["radii"], 0.0)
+        ),
+    }
+
+    # Dead slots: make sure no gradient leaks into them.
+    dead = ~state.alive
+    g_gauss = jax.tree_util.tree_map(
+        lambda g: jnp.where(dead.reshape((-1,) + (1,) * (g.ndim - 1)), 0.0, g),
+        g_gauss,
+    )
+
+    params, opt_g = optim.adam_step(state.params, g_gauss, state.opt_g, lrs_g)
+    if use_appearance and state.app is not None:
+        app, opt_a = optim.adam_step(state.app, g_app, state.opt_a, lrs_a)
+    else:
+        app, opt_a = state.app, state.opt_a
+
+    new_state = TrainState(params, app, opt_g, opt_a, state.alive, stats)
+    metrics = {
+        "loss": loss,
+        "n_pairs": aux["n_pairs"],
+        "n_visible": jnp.sum(visible),
+        "overflow": aux["n_pairs"]
+        > ocfg.pairs_per_gaussian * state.params["xyz"].shape[0],
+    }
+    return new_state, metrics
+
+
+@functools.lru_cache(maxsize=16)
+def _cached_train_step(ocfg_key, image_size, use_appearance):
+    """One compiled step per (optim config, image size, appearance flag);
+    extent is a traced input, so training many blocks of differing extents
+    (sequential auto_train) reuses a single XLA program."""
+    ocfg = OptimConfig(**dict(ocfg_key))
+
+    @functools.partial(jax.jit, static_argnames=("sh_degree",), donate_argnums=(0,))
+    def train_step(state, viewmat, intrin, gt, view_idx, background, extent,
+                   sh_degree):
+        return train_step_impl(
+            state, viewmat, intrin, gt, view_idx, background, extent,
+            ocfg=ocfg, image_size=image_size, sh_degree=sh_degree,
+            use_appearance=use_appearance,
+        )
+
+    return train_step
+
+
+def _ocfg_key(ocfg: OptimConfig):
+    import dataclasses
+
+    return tuple(sorted(dataclasses.asdict(ocfg).items()))
+
+
 def make_train_step(
     ocfg: OptimConfig,
     image_size,
@@ -114,121 +233,62 @@ def make_train_step(
     *,
     use_appearance: bool = True,
 ):
-    """Build the jitted step for one image size. ``sh_degree`` is a static
+    """Jitted single-block step for one image size. ``sh_degree`` is a static
     argument (4 compile variants over a run, train.py:89-91)."""
-    w, h = int(image_size[0]), int(image_size[1])
-    lrs_g = gaussian_lrs(ocfg, spatial_lr_scale)
-    lrs_a = appearance_lrs(ocfg)
-    n_pix = float(w * h)
+    cached = _cached_train_step(
+        _ocfg_key(ocfg), (int(image_size[0]), int(image_size[1])), use_appearance
+    )
+    extent = jnp.float32(spatial_lr_scale)
 
-    @functools.partial(jax.jit, static_argnames=("sh_degree",), donate_argnums=(0,))
-    def train_step(
-        state: TrainState,
-        viewmat,
-        intrin: CameraIntrin,
-        gt,                      # (H, W, 3)
-        view_idx,                # () int32 appearance embedding id
-        background,              # (3,)
-        sh_degree: int,
-    ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
-        probe0 = jnp.zeros_like(state.params["xyz"][:, :2])
-
-        def loss_fn(params, app, probe):
-            image, aux = render_gaussians(
-                params,
-                state.alive,
-                viewmat,
-                intrin,
-                (w, h),
-                background,
-                sh_degree,
-                max_per_tile=ocfg.max_per_tile,
-                max_pairs=ocfg.pairs_per_gaussian * params["xyz"].shape[0],
-                means2d_offset=probe,
-            )
-            if use_appearance and app is not None:
-                decoupled, _ = decouple_appearance(image, app, view_idx)
-            else:
-                decoupled = image
-            chw = lambda x: jnp.transpose(x, (2, 0, 1))
-            loss = (1.0 - ocfg.lambda_dssim) * l1_loss(decoupled, gt) + (
-                ocfg.lambda_dssim
-            ) * (1.0 - ssim(chw(image), chw(gt)))
-            return loss, aux
-
-        (loss, aux), grads = jax.value_and_grad(
-            loss_fn, argnums=(0, 1, 2), has_aux=True
-        )(state.params, state.app, probe0)
-        g_gauss, g_app, g_probe = grads
-
-        # --- densify bookkeeping (add_densification_stats,
-        # gaussian_model.py:431-435; train.py:140-147) ---
-        # CUDA accumulates NDC-frame gradients: pixel grad * (0.5 W, 0.5 H)
-        # (backward.cu ddelx_dx). Match that so densify_grad_threshold=0.0002
-        # keeps its reference meaning.
-        gnorm = jnp.linalg.norm(
-            g_probe * jnp.asarray([0.5 * w, 0.5 * h]), axis=-1
-        )
-        visible = aux["visible"] & state.alive
-        stats = {
-            "grad_accum": state.stats["grad_accum"] + jnp.where(visible, gnorm, 0.0),
-            "denom": state.stats["denom"] + visible.astype(jnp.float32),
-            "max_radii2d": jnp.maximum(
-                state.stats["max_radii2d"], jnp.where(visible, aux["radii"], 0.0)
-            ),
-        }
-
-        # Dead slots: make sure no gradient leaks into them.
-        dead = ~state.alive
-        g_gauss = jax.tree_util.tree_map(
-            lambda g: jnp.where(dead.reshape((-1,) + (1,) * (g.ndim - 1)), 0.0, g),
-            g_gauss,
-        )
-
-        params, opt_g = optim.adam_step(state.params, g_gauss, state.opt_g, lrs_g)
-        if use_appearance and state.app is not None:
-            app, opt_a = optim.adam_step(state.app, g_app, state.opt_a, lrs_a)
-        else:
-            app, opt_a = state.app, state.opt_a
-
-        new_state = TrainState(params, app, opt_g, opt_a, state.alive, stats)
-        metrics = {
-            "loss": loss,
-            "n_pairs": aux["n_pairs"],
-            "n_visible": jnp.sum(visible),
-            "overflow": aux["n_pairs"]
-            > ocfg.pairs_per_gaussian * state.params["xyz"].shape[0],
-        }
-        return new_state, metrics
+    def train_step(state, viewmat, intrin, gt, view_idx, background, sh_degree):
+        return cached(state, viewmat, intrin, gt, view_idx, background,
+                      extent, sh_degree)
 
     return train_step
 
 
-def make_densify_step(ocfg: OptimConfig, extent: float):
-    """Jitted densify+prune incl. optimizer moment surgery."""
+def densify_impl(
+    state: TrainState, key, extent, *, ocfg: OptimConfig, prune_big: bool
+) -> TrainState:
+    """Densify+prune incl. optimizer moment surgery (pure body)."""
+    params, alive, written = G.densify_and_prune(
+        state.params,
+        state.alive,
+        state.stats,
+        key,
+        grad_threshold=ocfg.densify_grad_threshold,
+        min_opacity=ocfg.min_opacity,
+        extent=extent,
+        percent_dense=ocfg.percent_dense,
+        prune_big_screen=prune_big,
+    )
+    opt_g = optim.zero_moments(state.opt_g, written)
+    stats = G.init_densify_stats(alive.shape[0])
+    return TrainState(params, state.app, opt_g, state.opt_a, alive, stats)
+
+
+@functools.lru_cache(maxsize=16)
+def _cached_densify_step(ocfg_key):
+    ocfg = OptimConfig(**dict(ocfg_key))
 
     @functools.partial(jax.jit, static_argnames=("prune_big",), donate_argnums=(0,))
-    def densify_step(state: TrainState, key, prune_big: bool):
-        params, alive, written = G.densify_and_prune(
-            state.params,
-            state.alive,
-            state.stats,
-            key,
-            grad_threshold=ocfg.densify_grad_threshold,
-            min_opacity=ocfg.min_opacity,
-            extent=extent,
-            percent_dense=ocfg.percent_dense,
-            prune_big_screen=prune_big,
-        )
-        opt_g = optim.zero_moments(state.opt_g, written)
-        stats = G.init_densify_stats(alive.shape[0])
-        return TrainState(params, state.app, opt_g, state.opt_a, alive, stats)
+    def densify_step(state, key, extent, prune_big: bool):
+        return densify_impl(state, key, extent, ocfg=ocfg, prune_big=prune_big)
 
     return densify_step
 
 
-@functools.partial(jax.jit, donate_argnums=(0,))
-def opacity_reset_step(state: TrainState) -> TrainState:
+def make_densify_step(ocfg: OptimConfig, extent: float):
+    cached = _cached_densify_step(_ocfg_key(ocfg))
+    ext = jnp.float32(extent)
+
+    def densify_step(state, key, prune_big: bool):
+        return cached(state, key, ext, prune_big)
+
+    return densify_step
+
+
+def opacity_reset_impl(state: TrainState) -> TrainState:
     """reset_opacity + moment surgery on the opacity group
     (gaussian_model.py:231-234, train.py:150-152)."""
     params = G.reset_opacity(state.params, state.alive)
@@ -239,3 +299,6 @@ def opacity_reset_step(state: TrainState) -> TrainState:
     return TrainState(
         params, state.app, opt_g, state.opt_a, state.alive, state.stats
     )
+
+
+opacity_reset_step = jax.jit(opacity_reset_impl, donate_argnums=(0,))

@@ -21,10 +21,14 @@ def expon_lr(step, lr_init, lr_final, lr_delay_steps=0, lr_delay_mult=1.0, max_s
     Works on traced or concrete `step`.
     """
     step = jnp.asarray(step, dtype=jnp.float32)
-    if lr_init == 0.0:
-        return jnp.zeros_like(step)
+    lr_init = jnp.asarray(lr_init, dtype=jnp.float32)
+    lr_final = jnp.asarray(lr_final, dtype=jnp.float32)
     t = jnp.clip(step / max_steps, 0.0, 1.0)
-    log_lerp = jnp.exp(jnp.log(lr_init) * (1 - t) + jnp.log(max(lr_final, 1e-32)) * t)
+    log_lerp = jnp.exp(
+        jnp.log(jnp.maximum(lr_init, 1e-32)) * (1 - t)
+        + jnp.log(jnp.maximum(lr_final, 1e-32)) * t
+    )
+    log_lerp = jnp.where(lr_init == 0.0, 0.0, log_lerp)  # disabled group
     if lr_delay_steps > 0:
         delay_rate = lr_delay_mult + (1 - lr_delay_mult) * jnp.sin(
             0.5 * jnp.pi * jnp.clip(step / lr_delay_steps, 0.0, 1.0)

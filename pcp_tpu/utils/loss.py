@@ -23,13 +23,19 @@ def l2_loss(pred, target):
 
 
 @functools.lru_cache(maxsize=None)
+@functools.lru_cache(maxsize=8)
 def _gaussian_window(window_size: int, sigma: float):
+    import jax
     import numpy as np
 
     xs = np.arange(window_size) - window_size // 2
     g = np.exp(-(xs ** 2) / (2.0 * sigma ** 2))
     g = (g / g.sum()).astype(np.float32)
-    return jnp.asarray(g)
+    # Materialise outside any active trace: under jit, np->jnp constants
+    # become trace-bound tracers in recent JAX, and caching/reuse across
+    # traces leaks them (UnexpectedTracerError).
+    with jax.ensure_compile_time_eval():
+        return jnp.asarray(g)
 
 
 def _depthwise_blur(img, window_size: int, sigma: float):
