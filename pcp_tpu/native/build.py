@@ -1,0 +1,67 @@
+"""Lazy g++ build + ctypes loader for the native codecs."""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Optional
+
+_LOCK = threading.Lock()
+_LIB: Optional[ctypes.CDLL] = None
+_TRIED = False
+
+_SRC = os.path.join(os.path.dirname(__file__), "colmap_codec.cpp")
+
+
+def _so_path() -> str:
+    cache = os.environ.get(
+        "PCP_NATIVE_CACHE", os.path.join(os.path.dirname(__file__), "_build")
+    )
+    os.makedirs(cache, exist_ok=True)
+    return os.path.join(cache, "libcolmap_codec.so")
+
+
+def load_library() -> Optional[ctypes.CDLL]:
+    """Build (once) and load the codec; None if no working toolchain."""
+    global _LIB, _TRIED
+    with _LOCK:
+        if _LIB is not None or _TRIED:
+            return _LIB
+        _TRIED = True
+        so = _so_path()
+        try:
+            if not os.path.exists(so) or (
+                os.path.getmtime(so) < os.path.getmtime(_SRC)
+            ):
+                subprocess.run(
+                    ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+                     _SRC, "-o", so],
+                    check=True, capture_output=True, timeout=120,
+                )
+            lib = ctypes.CDLL(so)
+            _configure(lib)
+            _LIB = lib
+        except (OSError, subprocess.SubprocessError) as e:
+            import warnings
+
+            warnings.warn(f"native colmap codec unavailable ({e}); "
+                          "falling back to pure Python")
+        return _LIB
+
+
+def _configure(lib: ctypes.CDLL) -> None:
+    import ctypes as ct
+
+    u8p = ct.POINTER(ct.c_uint8)
+    u64p = ct.POINTER(ct.c_uint64)
+    lib.colmap_points3d_count.restype = ct.c_int
+    lib.colmap_points3d_count.argtypes = [u8p, ct.c_uint64, u64p, u64p]
+    lib.colmap_points3d_parse.restype = ct.c_int
+    lib.colmap_points3d_size.restype = ct.c_uint64
+    lib.colmap_points3d_size.argtypes = [ct.c_uint64, ct.c_uint64]
+    lib.colmap_points3d_write.restype = ct.c_int
+    lib.colmap_images_count.restype = ct.c_int
+    lib.colmap_images_count.argtypes = [u8p, ct.c_uint64, u64p, u64p, u64p]
+    lib.colmap_images_parse.restype = ct.c_int

@@ -96,3 +96,63 @@ def test_camera_focal():
     assert c.focal == (100.0, 100.0)
     c2 = colmap.Camera(1, "PINHOLE", 64, 48, np.array([100.0, 90.0, 32.0, 24.0]))
     assert c2.focal == (100.0, 90.0)
+
+
+def test_native_codec_matches_python(tmp_path, rng):
+    """The C++ codec and the pure-Python path must be byte-identical."""
+    from pcp_tpu.io import colmap
+    from pcp_tpu.native import load_library
+
+    lib = load_library()
+    assert lib is not None, "g++ toolchain expected in this environment"
+
+    n = 500
+    tlen = rng.integers(0, 6, n).astype(np.int64)
+    tt = int(tlen.sum())
+    pts = colmap.Points3D(
+        ids=rng.integers(1, 10**6, n).astype(np.int64),
+        xyz=rng.normal(size=(n, 3)),
+        rgb=rng.integers(0, 256, (n, 3)).astype(np.uint8),
+        error=rng.uniform(0, 2, n),
+        track_lengths=tlen,
+        track_image_ids=rng.integers(1, 50, tt).astype(np.int32),
+        track_point2D_idxs=rng.integers(0, 1000, tt).astype(np.int32),
+    )
+    p = str(tmp_path / "points3D.bin")
+    colmap.write_points3D_binary(pts, p)  # native write
+    back = colmap.read_points3D_binary(p)  # native read
+    np.testing.assert_array_equal(back.ids, pts.ids)
+    np.testing.assert_allclose(back.xyz, pts.xyz)
+    np.testing.assert_array_equal(back.track_image_ids, pts.track_image_ids)
+
+    # cross-check: native blob == pure-Python blob
+    from pcp_tpu.io import colmap_fast
+
+    blob_native = colmap_fast.write_points3d_binary_native(
+        pts.ids, pts.xyz, pts.rgb, pts.error, pts.track_lengths,
+        pts.track_image_ids, pts.track_point2D_idxs,
+    )
+    import io as _io
+    import struct as _struct
+
+    with open(p, "rb") as f:
+        assert f.read() == blob_native
+
+    imgs = {
+        i: colmap.Image(
+            i, rng.normal(size=4), rng.normal(size=3), 1, f"img_{i}.jpg",
+            xys=rng.uniform(size=(3, 2)),
+            point3D_ids=rng.integers(-1, 100, 3).astype(np.int64),
+        )
+        for i in range(1, 6)
+    }
+    pi = str(tmp_path / "images.bin")
+    colmap.write_images_binary(imgs, pi)
+    back_imgs = colmap.read_images_binary(pi)  # native read path
+    assert set(back_imgs) == set(imgs)
+    for k in imgs:
+        np.testing.assert_allclose(back_imgs[k].qvec, imgs[k].qvec)
+        assert back_imgs[k].name == imgs[k].name
+        np.testing.assert_array_equal(
+            back_imgs[k].point3D_ids, imgs[k].point3D_ids
+        )

@@ -181,3 +181,47 @@ def test_seamless_merge_dedups_overlap(tmp_path, rng):
     assert np.all(np.sort(merged["xyz"][:, 0]) == np.sort(
         np.concatenate([b0["xyz"][b0["xyz"][:, 0] <= 0, 0],
                         b1["xyz"][b1["xyz"][:, 0] >= 0, 0]])))
+
+
+def test_camera_grid_partition(synth):
+    from pcp_tpu.partition.camera_grid import (
+        CameraGridConfig,
+        camera_region_division,
+        refine_boxes,
+        run_camera_grid_partition,
+    )
+    from pcp_tpu.scene import load_colmap_scene
+
+    scene = load_colmap_scene(synth, keep_point_ids=True)
+    cfg = CameraGridConfig(m_region=2, n_region=2, visible_rate=0.01)
+    records = run_camera_grid_partition(scene, cfg)
+    assert len(records) == 4
+    # balanced: every block got ~equal cameras before visibility additions
+    # (12 cams / 4 = 3 minimum each)
+    assert all(len(r.camera_uids) >= 3 for r in records)
+    # boxes tile seamlessly: shared borders equal
+    import numpy as np
+
+    centers = np.stack([c.center for c in scene.cameras])[:, :2]
+    groups = camera_region_division(centers, 2, 2)
+    boxes = refine_boxes(groups, centers, 2, 2)
+    assert boxes["1_1"].ymax == boxes["1_2"].ymin
+    assert boxes["1_1"].xmax == boxes["2_1"].xmin
+    assert boxes["1_2"].xmax == boxes["2_2"].xmin
+
+
+def test_camera_grid_visibility_adds_points(synth):
+    from pcp_tpu.partition.camera_grid import (
+        CameraGridConfig,
+        run_camera_grid_partition,
+    )
+    from pcp_tpu.scene import load_colmap_scene
+
+    scene = load_colmap_scene(synth, keep_point_ids=True)
+    strict = run_camera_grid_partition(
+        scene, CameraGridConfig(2, 2, visible_rate=0.99))
+    loose = run_camera_grid_partition(
+        scene, CameraGridConfig(2, 2, visible_rate=0.01))
+    # looser visibility must never shrink camera sets
+    for s, l in zip(strict, loose):
+        assert set(s.camera_uids) <= set(l.camera_uids)
