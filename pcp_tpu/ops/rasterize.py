@@ -83,18 +83,28 @@ def _chunk_body(carry, chunk, *, n_pix):
     return (color, trans, done), None
 
 
+MEM_BUDGET_BYTES = 1 << 31  # ~2 GB of transient HBM for the alpha tensors
+
+
 def composite(
     prep: Dict[str, jnp.ndarray],
     bins: TileBins,
     image_size,
     background: jnp.ndarray,
     *,
-    chunk: int = 32,
-    tile_batch: int = 64,
+    chunk: int = 64,
+    tile_batch: int = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Composite binned Gaussians into an image.
 
     Returns (image (H, W, 3) in [0, inf), final_T (H, W)).
+
+    The sequential axis is ONLY the Gaussian-chunk scan (front-to-back order
+    matters); all tiles advance in parallel per step. ``tile_batch=None``
+    sizes the tile dimension automatically so the per-step alpha tensor
+    (tiles x chunk x pixels, ~8 temporaries) fits MEM_BUDGET_BYTES — on a
+    16 GB chip a full 1080p tile grid runs in 1-3 batches, keeping the
+    number of sequential steps minimal (latency, not FLOPs, bounds this op).
     """
     w, h = int(image_size[0]), int(image_size[1])
     tiles_x = (w + TILE - 1) // TILE
@@ -103,6 +113,9 @@ def composite(
     k_cap = bins.tile_gauss.shape[1]
     n_chunks = (k_cap + chunk - 1) // chunk
     p = TILE * TILE
+    if tile_batch is None:
+        per_tile_bytes = chunk * p * 4 * 8
+        tile_batch = max(64, min(num_tiles, MEM_BUDGET_BYTES // per_tile_bytes))
 
     # Pad tile count to a multiple of tile_batch.
     nt_pad = ((num_tiles + tile_batch - 1) // tile_batch) * tile_batch
@@ -156,7 +169,11 @@ def composite(
         )
         return color, trans
 
-    color, trans = jax.lax.map(render_batch, (tg, pix))
+    if tg.shape[0] == 1:
+        c1, t1 = render_batch((tg[0], pix[0]))
+        color, trans = c1[None], t1[None]
+    else:
+        color, trans = jax.lax.map(render_batch, (tg, pix))
     color = color.reshape(nt_pad, p, 3)
     trans = trans.reshape(nt_pad, p)
 
@@ -186,8 +203,8 @@ def rasterize(
     *,
     max_pairs: int = None,
     max_per_tile: int = 512,
-    chunk: int = 32,
-    tile_batch: int = 64,
+    chunk: int = 64,
+    tile_batch: int = None,
     means2d_offset=None,
     tan_fov=None,
 ):
