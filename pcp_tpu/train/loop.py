@@ -126,10 +126,15 @@ def train_scene(
     )
     densify_fn = make_densify_step(ocfg, scene.extent)
 
+    from pcp_tpu.train.logging import TrainLogger
+
+    logger = TrainLogger(model_path)
     rng = random.Random(cfg.seed)
     stack: List[int] = []
     ema_loss = 0.0
     t0 = time.time()
+    t_last = t0
+    it_last = start_iter
     for it in range(start_iter + 1, ocfg.iterations + 1):
         if not stack:
             stack = list(range(len(cams)))
@@ -160,18 +165,34 @@ def train_scene(
             ):
                 state = opacity_reset_step(state)
 
-        if log_fn and (it % 100 == 0 or it == 1):
+        if it % 100 == 0 or it == 1:
             loss = float(metrics["loss"])
             ema_loss = loss if it == 1 else 0.6 * ema_loss + 0.4 * loss
-            log_fn(
-                f"iter {it:6d} loss {ema_loss:.5f} "
-                f"alive {int(np.asarray(state.alive).sum())} "
-                f"({(time.time() - t0):.1f}s)"
-            )
+            now = time.time()
+            n_alive = int(np.asarray(state.alive).sum())
+            logger.scalars(it, {
+                "train_loss_patches/total_loss": loss,
+                "total_points": n_alive,
+                "iter_time": (now - t_last) / max(it - it_last, 1),
+            })
+            t_last, it_last = now, it
+            if log_fn:
+                log_fn(
+                    f"iter {it:6d} loss {ema_loss:.5f} "
+                    f"alive {n_alive} ({(now - t0):.1f}s)"
+                )
         if it in cfg.test_iterations and test_cams:
             m = evaluate_cameras(state, test_cams, sh_degree, background, ocfg)
             if log_fn:
                 log_fn(f"[eval {it}] test l1 {m['l1']:.4f} psnr {m['psnr']:.2f}")
+            logger.scalars(it, {"test/loss_viewpoint_l1": m["l1"],
+                                "test/loss_viewpoint_psnr": m["psnr"]})
+            logger.histogram(
+                it, "scene/opacity_histogram",
+                np.asarray(G.opacity_act(state.params["opacity"]))[
+                    np.asarray(state.alive), 0
+                ],
+            )
             with open(os.path.join(model_path, f"eval_{it}.json"), "w") as f:
                 json.dump(m, f)
         if it in cfg.save_iterations:
@@ -180,6 +201,7 @@ def train_scene(
             ckpt.save(os.path.join(model_path, f"chkpnt{it}.npz"), state, it)
 
     save_model(state, model_path, ocfg.iterations, save_name)
+    logger.close()
     return state
 
 
