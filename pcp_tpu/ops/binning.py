@@ -3,26 +3,25 @@ Gaussian lists, with static shapes.
 
 Replaces the reference's dynamic CUB pipeline (rasterizer_impl.cu:70-138:
 InclusiveSum over tiles_touched -> duplicateWithKeys -> DeviceRadixSort on
-[tileID|depth] 64-bit keys -> identifyTileRanges) with XLA-friendly ops:
+[tileID|depth] 64-bit keys -> identifyTileRanges) with XLA-friendly ops,
+shaped by TPU microbenchmarks (each pitfall below cost 100-400 ms/step at
+2M pairs before being designed out):
 
-- pair expansion is a `searchsorted` over the exclusive-prefix-sum of
-  per-Gaussian tile counts (no per-Gaussian loop, no dynamic allocation;
-  a static ``max_pairs`` capacity bounds the duplication — the CUDA version
-  resizes buffers dynamically, rasterize_points.cu:27-33);
-- the 64-bit radix sort becomes: (1) one small argsort of the N Gaussians by
-  depth, then (2) ONE single-key int32 sort of the pairs on the packed key
-  ``tile_id << ceil_log2(N) | depth_rank`` — exact [tile | depth]
-  lexicographic order in 32 bits. TPUs have no 64-bit sort and multi-key
-  sorts cost ~2x; depth *ranks* compress the depth key from 32 bits to
-  log2(N) bits losslessly. Falls back to a two-key sort when
-  log2(tiles) + log2(N) > 31 (e.g. >8k tiles with >256k Gaussians).
-- tile ranges become a scatter of within-tile ranks into a fixed
-  (num_tiles, max_per_tile) index matrix, so the render stage can gather
-  fixed-shape blocks.
+1. Gaussians are pre-sorted by depth, so the depth-rank IS the sorted index:
+   the pair key packs [tile | sorted-gaussian-id] into ONE int32 — exact
+   [tile | depth] lexicographic order without 64-bit keys (TPUs have none)
+   and without a second sort key (2x cost) or a rank gather.
+2. Pair expansion maps slot -> owning Gaussian with a scatter of span starts
+   + one associative cummax (a searchsorted here serializes into ~17 gather
+   rounds over max_pairs queries: ~0.5 s).
+3. Per-pair tile coordinates avoid variable integer div/mod (no hardware
+   int division) via float reciprocal with a +0.5 numerator guard — exact
+   for the < 2^20 operand ranges involved.
+4. All per-Gaussian lookups ride ONE packed (max_pairs, 4) gather.
 
 Overflow policy: pairs beyond ``max_pairs`` are dropped from the tail of the
-expansion; per-tile lists keep the *nearest* ``max_per_tile`` Gaussians
-(keys sort by depth within a tile). Callers detect overflow via ``n_pairs``.
+expansion; per-tile lists keep the *nearest* ``max_per_tile`` Gaussians.
+Callers detect overflow via ``n_pairs``.
 """
 
 from __future__ import annotations
@@ -53,27 +52,23 @@ def bin_gaussians(
 ) -> TileBins:
     n = rect.shape[0]
     num_tiles = tiles_x * tiles_y
-    wx = rect[:, 2] - rect[:, 0]
-    wy = rect[:, 3] - rect[:, 1]
-    counts = (wx * wy).astype(jnp.int32)                    # tiles touched
-    offsets = jnp.cumsum(counts) - counts                   # exclusive prefix
-    total = offsets[-1] + counts[-1] if n > 0 else jnp.int32(0)
-
-    # --- depth ranks: one small N-sort replaces depth bits in the pair key
-    # (culled Gaussians produce no pairs, their rank value is irrelevant) ---
     rank_bits = _ceil_log2(n)
     tile_bits = _ceil_log2(num_tiles + 1)
-    order = jnp.argsort(depths)
-    rank = jnp.zeros((n,), jnp.int32).at[order].set(
-        jnp.arange(n, dtype=jnp.int32)
+    assert rank_bits + tile_bits <= 31, (
+        f"packed key needs {rank_bits}+{tile_bits} bits; shard the Gaussian "
+        "axis or reduce tiles"
     )
 
-    # --- pair expansion (duplicateWithKeys, rasterizer_impl.cu:70-93) ---
-    # Owner of pair slot p = the Gaussian whose [offset, offset+count) span
-    # covers p. A searchsorted here costs ~0.5 s on TPU (17 sequential
-    # binary-search gather steps over max_pairs queries); instead scatter
-    # each Gaussian's index at its span start and take a running max —
-    # one scatter + one associative cummax scan.
+    # --- depth order: sorted index == depth rank (one small N-sort) ---
+    order = jnp.argsort(depths).astype(jnp.int32)
+    rect_s = rect[order]
+    wx = rect_s[:, 2] - rect_s[:, 0]
+    wy = rect_s[:, 3] - rect_s[:, 1]
+    counts = (wx * wy).astype(jnp.int32)
+    offsets = jnp.cumsum(counts) - counts
+    total = offsets[-1] + counts[-1] if n > 0 else jnp.int32(0)
+
+    # --- pair slot -> owning (depth-sorted) Gaussian: scatter + cummax ---
     pair_idx = jnp.arange(max_pairs, dtype=jnp.int32)
     span_start = jnp.where(counts > 0, offsets, max_pairs)
     seed = (
@@ -82,25 +77,23 @@ def bin_gaussians(
         .max(jnp.arange(n, dtype=jnp.int32), mode="drop")
     )
     gid = jax.lax.cummax(seed)
-    local = pair_idx - offsets[gid]
-    valid = pair_idx < total
-    gw = jnp.maximum(wx[gid], 1)
-    tx = rect[gid, 0] + local % gw
-    ty = rect[gid, 1] + local // gw
-    tile_id = (ty * tiles_x + tx).astype(jnp.int32)
-    tile_id = jnp.where(valid, tile_id, num_tiles)          # invalid -> end
 
-    if rank_bits + tile_bits <= 31:
-        # --- packed single-key sort: [tile | depth-rank] in one int32 ---
-        key = (tile_id << rank_bits) | jnp.where(valid, rank[gid], 0)
-        s_key, s_gid = jax.lax.sort((key, gid), num_keys=1, is_stable=False)
-        s_tile = s_key >> rank_bits
-    else:
-        # --- fallback: two-key lexicographic sort (tile, depth) ---
-        depth_key = jnp.where(valid, depths[gid], jnp.inf).astype(jnp.float32)
-        s_tile, _, s_gid = jax.lax.sort(
-            (tile_id, depth_key, gid), num_keys=2, is_stable=False
-        )
+    # --- one packed per-pair gather: [x0, y0, wx, offset] ---
+    pack = jnp.stack([rect_s[:, 0], rect_s[:, 1], wx, offsets], axis=1)
+    g = pack[gid]                                          # (max_pairs, 4)
+    local = pair_idx - g[:, 3]
+    valid = pair_idx < total
+    # variable int div via exact float reciprocal (+0.5 guards the floor)
+    gwf = jnp.maximum(g[:, 2], 1).astype(jnp.float32)
+    tyl = jnp.floor((local.astype(jnp.float32) + 0.5) / gwf).astype(jnp.int32)
+    txl = local - tyl * g[:, 2]
+    tile_id = ((g[:, 1] + tyl) * tiles_x + g[:, 0] + txl).astype(jnp.int32)
+    tile_id = jnp.where(valid, tile_id, num_tiles)
+
+    # --- packed single-key sort: [tile | depth-rank] in one int32 ---
+    key = (tile_id << rank_bits) | jnp.where(valid, gid, 0)
+    s_key, s_gid = jax.lax.sort((key, gid), num_keys=1, is_stable=False)
+    s_tile = s_key >> rank_bits
 
     # --- per-tile ranges (identifyTileRanges, rasterizer_impl.cu:116-138) ---
     tile_range = jnp.arange(num_tiles, dtype=jnp.int32)
@@ -108,18 +101,22 @@ def bin_gaussians(
     ends = jnp.searchsorted(s_tile, tile_range, side="right").astype(jnp.int32)
     tile_count = jnp.minimum(ends - starts, max_per_tile)
 
-    # --- scatter within-tile ranks into the fixed gather matrix ---
-    slot = jnp.arange(max_pairs, dtype=jnp.int32) - starts[
-        jnp.clip(s_tile, 0, num_tiles - 1)
-    ]
+    # --- scatter within-tile slots into the fixed gather matrix ---
+    slot = pair_idx - starts[jnp.clip(s_tile, 0, num_tiles - 1)]
     ok = (s_tile < num_tiles) & (slot < max_per_tile)
     flat_target = jnp.where(
         ok, s_tile * max_per_tile + slot, num_tiles * max_per_tile
     )
-    tile_gauss = (
+    tile_gauss_sorted = (
         jnp.full((num_tiles * max_per_tile,), -1, jnp.int32)
         .at[flat_target]
         .set(s_gid, mode="drop")
         .reshape(num_tiles, max_per_tile)
+    )
+    # translate depth-sorted ids back to original Gaussian ids
+    tile_gauss = jnp.where(
+        tile_gauss_sorted >= 0,
+        order[jnp.maximum(tile_gauss_sorted, 0)],
+        -1,
     )
     return TileBins(tile_gauss, tile_count, total.astype(jnp.int32))

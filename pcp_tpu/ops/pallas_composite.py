@@ -1,26 +1,37 @@
-"""Fused Pallas TPU kernel for tile compositing (forward + backward).
+"""Fused Pallas TPU kernels for tile compositing (forward + custom VJP).
 
-The jnp composite (ops/rasterize.py) expresses the per-tile front-to-back
-blend as a lax.scan whose intermediates round-trip HBM every chunk step.
-This kernel keeps the whole blend state (color accumulator, transmittance,
-done mask) in VMEM scratch across the chunk axis, fusing all pointwise work
-— the renderCUDA analog (forward.cu:261-374), on VPU lanes instead of CUDA
-threads.
+The XLA composite (ops/rasterize.py) expresses the per-tile front-to-back
+blend as a lax.scan whose intermediates round-trip HBM every chunk step and
+whose backward rematerialises through jax.checkpoint. These kernels keep the
+blend state (transmittance, early-stop bookkeeping, color accumulator) in
+VMEM scratch across the chunk grid axis — the renderCUDA analog
+(forward.cu:261-374) on VPU lanes.
 
-Layout: pixels of a 16x16 tile are flattened to 256 = 2x128 lanes; a block
-covers TB tiles x CH Gaussians x 256 pixels. Grid = (tile_blocks, chunks)
-with the chunk axis sequential ("arbitrary") so scratch carries across it.
+Semantics preserved exactly (vs the jnp path and the CUDA original):
+  alpha = min(0.99, opacity * exp(power)), skipped if power > 0 or
+  alpha < 1/255; a pixel stops before the contribution that would push its
+  transmittance below 1e-4, stickily.
 
-Inputs are pre-gathered per-tile attribute tensors (XLA gather, cheap):
-  mean  (nt, K, 2), conic (nt, K, 3), rgb (nt, K, 3), opac (nt, K),
-  valid (nt, K) — from TileBins.tile_gauss.
+Backward strategy (backward.cu:400-656 analog, deterministic):
+  forward also records per-pixel ``n_contrib`` (1 + index of the last
+  applied contribution, CUDA's last_contributor). The backward kernel walks
+  chunks in REVERSE grid order carrying (T_after_chunk, suffix S); within a
+  chunk it recomputes alphas from the same local rules masked by
+  slot < n_contrib — exact, because the sticky stop means every applied slot
+  precedes n_contrib — reconstructs each slot's incoming transmittance from
+  the carried product, and emits per-(tile, slot) gradients. Per-Gaussian
+  accumulation happens outside via JAX's scatter-add of the gather (no
+  atomics, reproducible).
 
-The backward kernel re-traverses front-to-back (not CUDA's back-to-front:
-we re-derive each step's incoming transmittance T_k from the carried
-product, which is numerically stable because alpha <= 0.99 bounds each
-factor away from 0) and accumulates dL/d{mean2d, conic, rgb, opacity} per
-(tile, slot); the caller segment-sums slots back to Gaussians — the
-deterministic replacement for backward.cu's atomicAdd.
+TPU mapping notes:
+- work tensors are (TB tiles, P=256 pixels, CH=128 slots): slots on the
+  128-wide lane axis, pixels on sublanes;
+- front-to-back cumulative products/sums along the slot axis are
+  Hillis-Steele masked-roll scans (7 steps; Mosaic has no cumsum), and
+  transmittances are computed as direct products — no log/exp round-trips,
+  since transcendental throughput bounds this kernel;
+- grid = (tile blocks, chunks) with the chunk axis sequential so VMEM
+  scratch carries across it.
 """
 
 from __future__ import annotations
@@ -35,228 +46,337 @@ from jax.experimental.pallas import tpu as pltpu
 
 from pcp_tpu.ops.projection import TILE
 
-P = TILE * TILE            # 256 pixels per tile
+P = TILE * TILE
+INTERPRET = False  # tests set True to run the kernels on CPU
 ALPHA_MIN = 1.0 / 255.0
 ALPHA_MAX = 0.99
 T_EPS = 1.0e-4
 
+TB = 8     # tiles per block (sublane-divisible)
+CH = 128   # Gaussian slots per chunk = one MXU/lane width
 
-def _alpha_and_state(mean, conic, opac, valid, pix, trans_in, done_in):
-    """Shared forward math for one (TB, CH, P) block.
 
-    Returns (alpha, t_excl, log1ma, trans_out, done_out):
-      alpha  (TB, CH, P) after skip rules + sticky early stop
-      t_excl (TB, CH, P) transmittance *before* each contribution
-      trans_out (TB, P), done_out (TB, P)
-    """
-    dx = pix[:, None, :, 0] - mean[:, :, None, 0]          # (TB, CH, P)
-    dy = pix[:, None, :, 1] - mean[:, :, None, 1]
-    a = conic[:, :, None, 0]
-    b = conic[:, :, None, 1]
-    c = conic[:, :, None, 2]
+def _last_slot(x):
+    """x[:, :, CH-1] via a static slice (negative/int indexing lowers to
+    dynamic_slice, which Mosaic does not implement)."""
+    return jax.lax.slice_in_dim(x, CH - 1, CH, axis=2)[:, :, 0]
+
+
+def _cumsum_slots(x):
+    """Inclusive cumsum along the last (slot/lane) axis of (TB, P, CH).
+
+    Hillis-Steele shift-add scan: log2(CH)=7 masked-roll+add steps on the
+    VPU (Mosaic has no cumsum primitive)."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 2)
+    d = 1
+    while d < CH:
+        shifted = pltpu.roll(x, d, axis=2)
+        x = x + jnp.where(lane >= d, shifted, 0.0)
+        d *= 2
+    return x
+
+
+def _cumprod_slots(x):
+    """Inclusive cumprod along the slot axis (same scan, multiplicative).
+    Direct products replace the log1p/exp round-trips — transcendental
+    throughput, not FLOPs, bounds this kernel."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 2)
+    d = 1
+    while d < CH:
+        shifted = pltpu.roll(x, d, axis=2)
+        x = x * jnp.where(lane >= d, shifted, 1.0)
+        d *= 2
+    return x
+
+
+def _cumprod_slots_rev(x):
+    """Suffix (reverse-inclusive) cumprod along the slot axis."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 2)
+    d = 1
+    while d < CH:
+        shifted = pltpu.roll(x, CH - d, axis=2)  # == roll by -d (wraps)
+        x = x * jnp.where(lane < CH - d, shifted, 1.0)
+        d *= 2
+    return x
+
+
+def _cumsum_slots_rev(x):
+    """Suffix (reverse-inclusive) cumsum along the slot axis."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 2)
+    d = 1
+    while d < CH:
+        shifted = pltpu.roll(x, CH - d, axis=2)  # == roll by -d (wraps)
+        x = x + jnp.where(lane < CH - d, shifted, 0.0)
+        d *= 2
+    return x
+
+
+def _shift_right_one(x, fill):
+    """x[k-1] with x[-1] := fill, along the slot axis."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 2)
+    return jnp.where(lane >= 1, pltpu.roll(x, 1, axis=2), fill)
+
+
+def _pix_coords(i, tiles_x):
+    """Pixel centers for the TB tiles of block i: (TB, P)."""
+    rows = i * TB + jax.lax.broadcasted_iota(jnp.int32, (TB, P), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (TB, P), 1)
+    x0 = (rows % tiles_x) * TILE
+    y0 = (rows // tiles_x) * TILE
+    px = (x0 + lane % TILE).astype(jnp.float32)
+    py = (y0 + lane // TILE).astype(jnp.float32)
+    return px, py
+
+
+def _local_alpha(mx, my, ca, cb, cc, op, valid, px, py):
+    """Per-slot alpha from the local skip rules only (no history).
+
+    Attribute inputs (TB, CH), pixel coords (TB, P); returns
+    (alpha (TB, P, CH), dx, dy)."""
+    dx = px[:, :, None] - mx[:, None, :]
+    dy = py[:, :, None] - my[:, None, :]
+    a = ca[:, None, :]
+    b = cb[:, None, :]
+    c = cc[:, None, :]
     power = -0.5 * (a * dx * dx + c * dy * dy) - b * dx * dy
-    alpha = jnp.minimum(ALPHA_MAX, opac[:, :, None] * jnp.exp(power))
+    alpha = jnp.minimum(ALPHA_MAX, op[:, None, :] * jnp.exp(power))
     alpha = jnp.where(
-        (power > 0.0) | (alpha < ALPHA_MIN) | ~valid[:, :, None], 0.0, alpha
+        (power > 0.0) | (alpha < ALPHA_MIN) | ~(valid[:, None, :] > 0),
+        0.0, alpha,
     )
-    log1ma = jnp.log1p(-alpha)
-    t_after_raw = trans_in[:, None, :] * jnp.exp(jnp.cumsum(log1ma, axis=1))
-    done_k = done_in[:, None, :] | (
-        jnp.cumsum(t_after_raw < T_EPS, axis=1) > 0
-    )
-    alpha = jnp.where(done_k, 0.0, alpha)
-    log1ma = jnp.log1p(-alpha)
-    cum = jnp.cumsum(log1ma, axis=1)
-    t_excl = trans_in[:, None, :] * jnp.exp(cum - log1ma)
-    trans_out = trans_in * jnp.exp(cum[:, -1, :])
-    done_out = done_k[:, -1, :]
-    return alpha, t_excl, trans_out, done_out
+    return alpha, dx, dy
 
 
-def _fwd_kernel(mean_ref, conic_ref, rgb_ref, opac_ref, valid_ref, pix_ref,
-                color_ref, trans_ref, t_scr, d_scr):
+def _fwd_kernel(mx, my, ca, cb, cc, cr, cg, cbl, op, valid,
+                color_ref, tfin_ref, ncontrib_ref,
+                t_scr, d_scr, nc_scr, *, tiles_x):
+    i = pl.program_id(0)
     c_idx = pl.program_id(1)
 
     @pl.when(c_idx == 0)
     def _():
         t_scr[:] = jnp.ones_like(t_scr)
         d_scr[:] = jnp.zeros_like(d_scr)
+        nc_scr[:] = jnp.zeros_like(nc_scr)
         color_ref[:] = jnp.zeros_like(color_ref)
 
-    trans_in = t_scr[:]
-    done_in = d_scr[:] > 0.5
-    alpha, t_excl, trans_out, done_out = _alpha_and_state(
-        mean_ref[:], conic_ref[:], opac_ref[:], valid_ref[:] > 0,
-        pix_ref[:], trans_in, done_in,
+    px, py = _pix_coords(i, tiles_x)
+    alpha, _, _ = _local_alpha(
+        mx[:], my[:], ca[:], cb[:], cc[:], op[:], valid[:], px, py
     )
-    w = alpha * t_excl                                      # (TB, CH, P)
-    color_ref[:] += jnp.einsum(
-        "bkp,bkc->bpc", w, rgb_ref[:], preferred_element_type=jnp.float32
+
+    trans_in = t_scr[:]                                   # (TB, P)
+    prod_raw = _cumprod_slots(1.0 - alpha)                # (TB, P, CH)
+    t_after_raw = trans_in[:, :, None] * prod_raw
+    # minor-dim insertion on i1 is unsupported by Mosaic: broadcast the f32
+    # done flag, then compare in 3D
+    done_k = (d_scr[:][:, :, None] > 0.5) | (
+        _cumsum_slots((t_after_raw < T_EPS).astype(jnp.float32)) > 0.0
     )
-    t_scr[:] = trans_out
-    d_scr[:] = done_out.astype(jnp.float32)
+    alpha = jnp.where(done_k, 0.0, alpha)
+    prod_incl = _cumprod_slots(1.0 - alpha)
+    t_excl = trans_in[:, :, None] * _shift_right_one(prod_incl, 1.0)
+    w = alpha * t_excl                                    # (TB, P, CH)
+
+    color_ref[:] = color_ref[:] + jnp.stack(
+        [
+            jnp.sum(w * cr[:][:, None, :], axis=2),
+            jnp.sum(w * cg[:][:, None, :], axis=2),
+            jnp.sum(w * cbl[:][:, None, :], axis=2),
+        ],
+        axis=1,
+    )
+
+    # last applied slot + 1, global over chunks (CUDA last_contributor)
+    applied = alpha > 0.0
+    slot1 = (
+        c_idx * CH
+        + jax.lax.broadcasted_iota(jnp.int32, alpha.shape, 2)
+        + 1
+    ).astype(jnp.float32)
+    nc_scr[:] = jnp.maximum(
+        nc_scr[:], jnp.max(jnp.where(applied, slot1, 0.0), axis=2)
+    )
+
+    t_scr[:] = trans_in * _last_slot(prod_incl)
+    d_scr[:] = _last_slot(done_k.astype(jnp.float32))
 
     @pl.when(c_idx == pl.num_programs(1) - 1)
     def _():
-        trans_ref[:] = t_scr[:]
+        tfin_ref[:] = t_scr[:]
+        ncontrib_ref[:] = nc_scr[:]
 
 
-@functools.partial(jax.jit, static_argnames=("tb", "ch"))
-def _composite_fwd_pallas(mean, conic, rgb, opac, valid, pix, tb, ch):
-    nt, k = opac.shape
-    n_chunks = k // ch
-    grid = (nt // tb, n_chunks)
+def _bwd_kernel(mx, my, ca, cb, cc, cr, cg, cbl, op, valid,
+                gcolor, gtfin, tfin, ncontrib,
+                dmx, dmy, dca, dcb, dcc, dcr, dcg, dcbl, dop,
+                t_scr, s_scr, *, tiles_x):
+    i = pl.program_id(0)
+    c_rev = pl.program_id(1)
+    n_chunks = pl.num_programs(1)
+    c_idx = n_chunks - 1 - c_rev   # true chunk index (blocks mapped reversed)
 
-    def tile_map(i, c):
-        return (i * tb, c * ch, 0)
-
-    def tile_map2(i, c):
-        return (i * tb, c * ch)
-
-    out_shape = (
-        jax.ShapeDtypeStruct((nt, P, 3), jnp.float32),
-        jax.ShapeDtypeStruct((nt, P), jnp.float32),
-    )
-    color, trans = pl.pallas_call(
-        _fwd_kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((tb, ch, 2), tile_map, memory_space=pltpu.VMEM),
-            pl.BlockSpec((tb, ch, 3), tile_map, memory_space=pltpu.VMEM),
-            pl.BlockSpec((tb, ch, 3), tile_map, memory_space=pltpu.VMEM),
-            pl.BlockSpec((tb, ch), tile_map2, memory_space=pltpu.VMEM),
-            pl.BlockSpec((tb, ch), tile_map2, memory_space=pltpu.VMEM),
-            pl.BlockSpec((tb, P, 2), lambda i, c: (i * tb, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=(
-            pl.BlockSpec((tb, P, 3), lambda i, c: (i * tb, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tb, P), lambda i, c: (i * tb, 0),
-                         memory_space=pltpu.VMEM),
-        ),
-        out_shape=out_shape,
-        scratch_shapes=[
-            pltpu.VMEM((tb, P), jnp.float32),
-            pltpu.VMEM((tb, P), jnp.float32),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary"),
-        ),
-    )(mean, conic, rgb, opac, valid, pix)
-    return color, trans
-
-
-def _bwd_kernel(mean_ref, conic_ref, rgb_ref, opac_ref, valid_ref, pix_ref,
-                gcolor_ref, gtransfin_ref, transfin_ref,
-                dmean_ref, dconic_ref, drgb_ref, dopac_ref,
-                t_scr, d_scr):
-    """Front-to-back re-traversal backward.
-
-    For contribution k with weight w_k = alpha_k * T_k (T_k = transmittance
-    before k) and final color C = sum w_k rgb_k + T_fin * bg:
-      dL/drgb_k   = w_k * gC
-      dL/dalpha_k = T_k * (rgb_k . gC) - S_k / (1 - alpha_k)
-    where S_k = sum_{j>k} w_j (rgb_j . gC) + T_fin * gT_eff accounts for the
-    attenuation of everything behind k (gT_eff folds the background/final-T
-    cotangent). S_k is computed as suffix = total_tail - prefix using the
-    carried transmittance — the same recurrence backward.cu:475-553 builds
-    back-to-front with accum_rec.
-    """
-    c_idx = pl.program_id(1)
-
-    @pl.when(c_idx == 0)
+    @pl.when(c_rev == 0)
     def _():
-        t_scr[:] = jnp.ones_like(t_scr)
-        d_scr[:] = jnp.zeros_like(d_scr)
+        t_scr[:] = tfin[:]                       # T after the LAST chunk
+        s_scr[:] = tfin[:] * gtfin[:]            # suffix incl. final-T term
 
-    trans_in = t_scr[:]
-    done_in = d_scr[:] > 0.5
-    mean = mean_ref[:]
-    conic = conic_ref[:]
-    opac = opac_ref[:]
-    valid = valid_ref[:] > 0
-    pix = pix_ref[:]
-    gC = gcolor_ref[:]                                       # (TB, P, 3)
-
-    alpha, t_excl, trans_out, done_out = _alpha_and_state(
-        mean, conic, opac, valid, pix, trans_in, done_in
+    px, py = _pix_coords(i, tiles_x)
+    alpha, dx, dy = _local_alpha(
+        mx[:], my[:], ca[:], cb[:], cc[:], op[:], valid[:], px, py
     )
+    slot = (
+        c_idx * CH + jax.lax.broadcasted_iota(jnp.int32, alpha.shape, 2)
+    ).astype(jnp.float32)
+    alpha = jnp.where(slot < ncontrib[:][:, :, None], alpha, 0.0)
 
-    rgb_dot_g = jnp.einsum(
-        "bkc,bpc->bkp", rgb_ref[:], gC, preferred_element_type=jnp.float32
-    )                                                        # (TB, CH, P)
+    t_end = t_scr[:]                              # (TB, P): T after chunk
+    # suffix product of (1 - alpha): T before slot k = t_end / suffix[k].
+    # Bounded: the forward's sticky stop keeps T >= ~1e-4 among applied
+    # slots, so the divisor never underflows where the result matters.
+    suffix = _cumprod_slots_rev(1.0 - alpha)
+    t_excl = t_end[:, :, None] / suffix           # T before slot k
     w = alpha * t_excl
-    contrib = w * rgb_dot_g
 
-    # Suffix sum over ALL remaining contributions (this chunk's tail + later
-    # chunks). Total tail from here = C_rest = (color still to be added from
-    # t_excl onward). We can get it from the invariant: the total remaining
-    # weighted color after position k equals
-    #   R_k = sum_{j>k, this chunk} contrib_j + R_chunk_end
-    # and R_chunk_end is carried implicitly: at the end of the LAST chunk,
-    # R = T_fin * gT_eff where gT_eff = (bg . gC) + gT_fin. We cannot carry
-    # future information forward, so instead we use the algebraic identity
-    #   S_k = (T_k' (C_tail)) — materialised by a SECOND pass: this kernel
-    # is invoked twice by the host wrapper; pass 1 computes per-chunk total
-    # contribution sums, the host suffix-sums them, pass 2 (this one) reads
-    # the per-chunk suffix R via gtransfin_ref slot. To keep one kernel, we
-    # exploit that suffix-within-chunk + carried chunk suffix is enough:
-    # gtransfin_ref here is (TB, n_chunks_pad=P?) — see wrapper.
-    chunk_suffix = gtransfin_ref[:]                          # (TB, P): R after this chunk
-    within_suffix = (
-        jnp.cumsum(contrib[:, ::-1, :], axis=1)[:, ::-1, :] - contrib
-    )
-    s_k = within_suffix + chunk_suffix[:, None, :]
+    gC = gcolor[:]                                # (TB, 3, P)
+    rgb_dot_g = (
+        cr[:][:, None, :] * jax.lax.slice_in_dim(gC, 0, 1, axis=1)[:, 0, :][:, :, None]
+        + cg[:][:, None, :] * jax.lax.slice_in_dim(gC, 1, 2, axis=1)[:, 0, :][:, :, None]
+        + cbl[:][:, None, :] * jax.lax.slice_in_dim(gC, 2, 3, axis=1)[:, 0, :][:, :, None]
+    )                                             # (TB, P, CH)
+    contrib = w * rgb_dot_g
+    csuf = _cumsum_slots_rev(contrib)             # sum_{j>=k} contrib_j
+    s_k = csuf - contrib + s_scr[:][:, :, None]   # strictly-later + carry
 
     denom = jnp.maximum(1.0 - alpha, 1.0 - ALPHA_MAX)
     dalpha = t_excl * rgb_dot_g - s_k / denom
     dalpha = jnp.where(alpha > 0.0, dalpha, 0.0)
 
-    # alpha = min(0.99, opac * G); grads masked where clamped
-    g_val = jnp.where(opac[:, :, None] > 0, alpha / jnp.maximum(opac[:, :, None], 1e-12), 0.0)
+    opb = jnp.maximum(op[:][:, None, :], ALPHA_MIN)
+    g_val = alpha / opb                           # exp(power) where applied
     unclamped = alpha < ALPHA_MAX
-    dopac_pix = jnp.where(unclamped, dalpha * g_val, 0.0)
-    dG = jnp.where(unclamped, dalpha * opac[:, :, None], 0.0)
-    # G = exp(power); dpower = dG * G = dalpha * alpha (unclamped)
-    dpower = dG * g_val * opac[:, :, None]
+    dop_pix = jnp.where(unclamped, dalpha * g_val, 0.0)
+    dpower = jnp.where(unclamped, dalpha * alpha, 0.0)
 
-    dx = pix[:, None, :, 0] - mean[:, :, None, 0]
-    dy = pix[:, None, :, 1] - mean[:, :, None, 1]
-    # power = -0.5 (a dx^2 + c dy^2) - b dx dy
-    da = jnp.sum(dpower * (-0.5 * dx * dx), axis=2)
-    db = jnp.sum(dpower * (-dx * dy), axis=2)
-    dc = jnp.sum(dpower * (-0.5 * dy * dy), axis=2)
-    a = conic[:, :, None, 0]
-    b = conic[:, :, None, 1]
-    c = conic[:, :, None, 2]
-    dmx = jnp.sum(dpower * (a * dx + b * dy), axis=2)
-    dmy = jnp.sum(dpower * (c * dy + b * dx), axis=2)
+    a = ca[:][:, None, :]
+    b = cb[:][:, None, :]
+    c = cc[:][:, None, :]
+    dmx[:] = jnp.sum(dpower * (a * dx + b * dy), axis=1)
+    dmy[:] = jnp.sum(dpower * (c * dy + b * dx), axis=1)
+    dca[:] = jnp.sum(dpower * (-0.5 * dx * dx), axis=1)
+    dcb[:] = jnp.sum(dpower * (-dx * dy), axis=1)
+    dcc[:] = jnp.sum(dpower * (-0.5 * dy * dy), axis=1)
+    dcr[:] = jnp.sum(w * jax.lax.slice_in_dim(gC, 0, 1, axis=1)[:, 0, :][:, :, None], axis=1)
+    dcg[:] = jnp.sum(w * jax.lax.slice_in_dim(gC, 1, 2, axis=1)[:, 0, :][:, :, None], axis=1)
+    dcbl[:] = jnp.sum(w * jax.lax.slice_in_dim(gC, 2, 3, axis=1)[:, 0, :][:, :, None], axis=1)
+    dop[:] = jnp.sum(dop_pix, axis=1)
 
-    dmean_ref[:] = jnp.stack([dmx, dmy], axis=-1)
-    dconic_ref[:] = jnp.stack([da, db, dc], axis=-1)
-    drgb_ref[:] = jnp.einsum(
-        "bkp,bpc->bkc", w, gC, preferred_element_type=jnp.float32
-    )
-    dopac_ref[:] = jnp.sum(dopac_pix, axis=2)
-
-    t_scr[:] = trans_out
-    d_scr[:] = done_out.astype(jnp.float32)
-    transfin_ref[:] = trans_out
+    # carries for the next (earlier) chunk
+    first = lambda x: jax.lax.slice_in_dim(x, 0, 1, axis=2)[:, :, 0]
+    t_scr[:] = t_end / first(suffix)              # T before this chunk
+    s_scr[:] = s_scr[:] + first(csuf)
 
 
-def composite_pallas(
-    tile_gauss: jnp.ndarray,     # (nt, K) int32, -1 pad
-    means2d, conics, rgb, opac,  # per-Gaussian (N, ...) arrays
-    *,
-    tb: int = 8,
-    ch: int = 32,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Differentiable fused composite over pre-binned tiles.
+def _specs(n_chunks, reverse=False):
+    """index_map returns BLOCK indices (units of the block shape)."""
 
-    Returns (color (nt, 256, 3), final_T (nt, 256)). Gradients flow to
-    means2d/conics/rgb/opac via a custom VJP whose backward is also Pallas.
-    ``pix`` coordinates are derived by the caller-side wrapper in
-    rasterize.py; here tiles are abstract rows.
+    def att(i, c):
+        return (i, (n_chunks - 1 - c) if reverse else c)
+
+    def per_tile2(i, c):
+        return (i, 0)
+
+    def per_tile3(i, c):
+        return (i, 0, 0)
+
+    return att, per_tile2, per_tile3
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(10,))
+def composite_tiles(mx, my, ca, cb, cc, r, g, b, op, valid, tiles_x):
+    """(nt, K) per-tile-slot attributes -> (color (nt,3,P), t_fin (nt,P)).
+
+    nt must be a multiple of TB and K a multiple of CH (caller pads).
     """
-    raise NotImplementedError("wired via rasterize.py in a later milestone")
+    color, tfin, _ = _fwd(mx, my, ca, cb, cc, r, g, b, op, valid, tiles_x)
+    return color, tfin
+
+
+def _fwd(mx, my, ca, cb, cc, r, g, b, op, valid, tiles_x):
+    nt, k = op.shape
+    n_chunks = k // CH
+    att, per_tile2, per_tile3 = _specs(n_chunks)
+    v = pltpu.VMEM
+    color, tfin, ncontrib = pl.pallas_call(
+        functools.partial(_fwd_kernel, tiles_x=tiles_x),
+        grid=(nt // TB, n_chunks),
+        in_specs=[pl.BlockSpec((TB, CH), att, memory_space=v)] * 10,
+        out_specs=(
+            pl.BlockSpec((TB, 3, P), per_tile3, memory_space=v),
+            pl.BlockSpec((TB, P), per_tile2, memory_space=v),
+            pl.BlockSpec((TB, P), per_tile2, memory_space=v),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((nt, 3, P), jnp.float32),
+            jax.ShapeDtypeStruct((nt, P), jnp.float32),
+            jax.ShapeDtypeStruct((nt, P), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((TB, P), jnp.float32),
+            pltpu.VMEM((TB, P), jnp.float32),
+            pltpu.VMEM((TB, P), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=INTERPRET,
+    )(mx, my, ca, cb, cc, r, g, b, op, valid)
+    return color, tfin, ncontrib
+
+
+def _composite_fwd(mx, my, ca, cb, cc, r, g, b, op, valid, tiles_x):
+    color, tfin, ncontrib = _fwd(mx, my, ca, cb, cc, r, g, b, op, valid, tiles_x)
+    res = (mx, my, ca, cb, cc, r, g, b, op, valid, tfin, ncontrib)
+    return (color, tfin), res
+
+
+def _composite_bwd(tiles_x, res, cot):
+    mx, my, ca, cb, cc, r, g, b, op, valid, tfin, ncontrib = res
+    gcolor, gtfin = cot
+    nt, k = op.shape
+    n_chunks = k // CH
+    att, per_tile2, per_tile3 = _specs(n_chunks, reverse=True)
+    v = pltpu.VMEM
+    outs = pl.pallas_call(
+        functools.partial(_bwd_kernel, tiles_x=tiles_x),
+        grid=(nt // TB, n_chunks),
+        in_specs=[pl.BlockSpec((TB, CH), att, memory_space=v)] * 10
+        + [
+            pl.BlockSpec((TB, 3, P), per_tile3, memory_space=v),
+            pl.BlockSpec((TB, P), per_tile2, memory_space=v),
+            pl.BlockSpec((TB, P), per_tile2, memory_space=v),
+            pl.BlockSpec((TB, P), per_tile2, memory_space=v),
+        ],
+        out_specs=tuple(
+            [pl.BlockSpec((TB, CH), att, memory_space=v)] * 9
+        ),
+        out_shape=tuple(
+            [jax.ShapeDtypeStruct((nt, k), jnp.float32)] * 9
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((TB, P), jnp.float32),
+            pltpu.VMEM((TB, P), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=INTERPRET,
+    )(
+        mx, my, ca, cb, cc, r, g, b, op, valid,
+        gcolor, gtfin, tfin, ncontrib,
+    )
+    dmx, dmy, dca, dcb, dcc, dcr, dcg, dcbl, dop = outs
+    return (dmx, dmy, dca, dcb, dcc, dcr, dcg, dcbl, dop, None)
+
+
+composite_tiles.defvjp(_composite_fwd, _composite_bwd)

@@ -189,6 +189,56 @@ def composite(
     return image, untile(trans[..., None])[..., 0]
 
 
+def composite_fused(
+    prep: Dict[str, jnp.ndarray],
+    bins: TileBins,
+    image_size,
+    background: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Fused-Pallas composite path (ops/pallas_composite.py): pre-gather
+    per-tile attribute planes with XLA, run the VMEM-resident blend kernel,
+    un-tile. Differentiable via the kernel's custom VJP; per-Gaussian
+    gradient accumulation is JAX's deterministic scatter-add through the
+    gathers below."""
+    from pcp_tpu.ops import pallas_composite as pc
+
+    w, h = int(image_size[0]), int(image_size[1])
+    tiles_x = (w + TILE - 1) // TILE
+    tiles_y = (h + TILE - 1) // TILE
+    num_tiles = tiles_x * tiles_y
+
+    ids = bins.tile_gauss
+    nt, k = ids.shape
+    nt_pad = ((nt + pc.TB - 1) // pc.TB) * pc.TB
+    k_pad = ((k + pc.CH - 1) // pc.CH) * pc.CH
+    if (nt_pad, k_pad) != (nt, k):
+        ids = jnp.full((nt_pad, k_pad), -1, jnp.int32).at[:nt, :k].set(ids)
+    valid = (ids >= 0).astype(jnp.float32)
+    idc = jnp.maximum(ids, 0)
+
+    m = prep["means2d"]
+    c = prep["conics"]
+    rgb = prep["rgb"]
+    color, tfin = pc.composite_tiles(
+        m[idc, 0], m[idc, 1],
+        c[idc, 0], c[idc, 1], c[idc, 2],
+        rgb[idc, 0], rgb[idc, 1], rgb[idc, 2],
+        prep["opacity"][idc] * valid, valid,
+        tiles_x,
+    )
+
+    def untile(x, ch):
+        x = x.reshape(nt_pad, ch, TILE, TILE)[:num_tiles]
+        x = x.reshape(tiles_y, tiles_x, ch, TILE, TILE)
+        x = x.transpose(0, 3, 1, 4, 2).reshape(tiles_y * TILE, tiles_x * TILE, ch)
+        return x[:h, :w]
+
+    color_img = untile(color, 3)
+    t_img = untile(tfin[:, None, :], 1)[..., 0]
+    image = color_img + t_img[..., None] * background.reshape(1, 1, 3)
+    return image, t_img
+
+
 def rasterize(
     xyz,
     scales,
@@ -207,6 +257,7 @@ def rasterize(
     tile_batch: int = None,
     means2d_offset=None,
     tan_fov=None,
+    use_pallas: bool = None,
 ):
     """Full differentiable rasterization: preprocess -> bin -> composite.
 
@@ -229,9 +280,15 @@ def rasterize(
         prep["rect"], prep["depths"], tiles_x, tiles_y,
         max_pairs=max_pairs, max_per_tile=max_per_tile,
     )
-    image, final_t = composite(
-        prep, bins, image_size, background, chunk=chunk, tile_batch=tile_batch
-    )
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas:
+        image, final_t = composite_fused(prep, bins, image_size, background)
+    else:
+        image, final_t = composite(
+            prep, bins, image_size, background, chunk=chunk,
+            tile_batch=tile_batch,
+        )
     aux = {
         "radii": prep["radii"],
         "visible": prep["visible"],
