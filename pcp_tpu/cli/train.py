@@ -29,6 +29,12 @@ def main(argv=None) -> None:
     p.add_argument("--start_checkpoint", type=str, default=None)
     p.add_argument("--quiet", action="store_true")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--ip", type=str, default="127.0.0.1",
+                   help="viewer socket host (train.py:252); 'none' disables")
+    p.add_argument("--port", type=int, default=6009)
+    p.add_argument("--disable_viewer", action="store_true")
+    p.add_argument("--profile", action="store_true",
+                   help="write a jax.profiler trace under the model dir")
     args = p.parse_args(argv)
 
     from pcp_tpu.scene import load_colmap_scene
@@ -66,11 +72,23 @@ def main(argv=None) -> None:
         state, start_iter = ckpt.load(cfg.start_checkpoint, template)
         print(f"resumed from {cfg.start_checkpoint} @ iter {start_iter}")
 
+    viewer = None
+    if not args.disable_viewer and args.ip != "none":
+        try:
+            from pcp_tpu.viewer import NetworkGUI
+
+            viewer = NetworkGUI(args.ip, args.port)
+        except OSError as e:
+            print(f"viewer socket unavailable ({e}); continuing headless")
+
     train_scene(
         scene, cfg,
         log_fn=None if args.quiet else print,
         state=state, start_iter=start_iter,
+        viewer=viewer, profile=args.profile,
     )
+    if viewer is not None:
+        viewer.close()
     print("training complete:", cfg.model.model_path)
 
 

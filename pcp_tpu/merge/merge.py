@@ -94,11 +94,27 @@ def seamless_merge(
 
 
 def cut_partition(
-    ply_path: str, box: Box2D, out_path: Optional[str] = None
+    ply_path: str,
+    box: Box2D,
+    out_path: Optional[str] = None,
+    *,
+    knn_prefilter: bool = False,
+    min_neighbors: int = 10,
+    radius: float = 0.1,
 ) -> Dict[str, np.ndarray]:
     """Crop a trained block to its (unexpanded) cell -> cutor_pcd.ply
-    (cut_partition.py:59-83)."""
-    gauss = _crop(load_gaussian_ply(ply_path), box)
+    (cut_partition.py:59-83). ``knn_prefilter`` additionally drops isolated
+    Gaussians first (the KDTree radius-count filter of ktree_point.py:50-89,
+    min_neighbors=10, radius=0.1) via the grid-hash neighbour counter."""
+    gauss = load_gaussian_ply(ply_path)
+    if knn_prefilter:
+        from pcp_tpu.partition.points import radius_outlier_removal
+
+        keep = radius_outlier_removal(
+            gauss["xyz"], nb_points=min_neighbors, radius=radius
+        )
+        gauss = {k: v[keep] for k, v in gauss.items()}
+    gauss = _crop(gauss, box)
     if out_path:
         save_gaussian_ply(
             out_path, gauss["xyz"], gauss["f_dc"], gauss["f_rest"],

@@ -133,7 +133,8 @@ class ProgressiveDataPartitioning:
         return records
 
     def export(self) -> str:
-        """Write split_result/visible/<id>/... + partition_data.pkl."""
+        """Write split_result/visible/<id>/... + partition_data.pkl +
+        per-block camera name lists (partition_utils.py interop)."""
         visible_root = os.path.join(self.model_path, "split_result", "visible")
         os.makedirs(visible_root, exist_ok=True)
         for rec in self.records:
@@ -142,6 +143,11 @@ class ProgressiveDataPartitioning:
             )
         save_partition_data(
             os.path.join(self.model_path, "partition_data.pkl"), self.records
+        )
+        from pcp_tpu.partition.camera_lists import write_camera_lists
+
+        write_camera_lists(
+            self.scene, self.records, self.model_path, self.cfg.llffhold
         )
         return visible_root
 

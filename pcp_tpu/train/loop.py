@@ -78,6 +78,39 @@ def evaluate_cameras(state, cams, sh_degree, background, ocfg) -> Dict[str, floa
     }
 
 
+def poll_viewer(viewer, state, sh_degree, background, ocfg, training_done):
+    """One viewer poll (train.py:67-84): accept, render the requested view,
+    send raw RGB + the verify string. Returns whether to keep looping the
+    poll (keep_alive while paused)."""
+    import math
+
+    from pcp_tpu.ops.projection import CameraIntrin
+
+    if viewer is None or not viewer.try_connect():
+        return False
+    cam = viewer.receive()
+    if cam is None:
+        return False
+    import jax.numpy as jnp_
+
+    fx = cam.width / (2.0 * math.tan(cam.fovx * 0.5))
+    fy = cam.height / (2.0 * math.tan(cam.fovy * 0.5))
+    intrin = CameraIntrin(
+        fx=jnp_.float32(fx), fy=jnp_.float32(fy),
+        cx=jnp_.float32(cam.width / 2.0), cy=jnp_.float32(cam.height / 2.0),
+    )
+    img, _ = render_gaussians(
+        state.params, state.alive,
+        jnp_.asarray(cam.world_view_transform.T), intrin,
+        (cam.width, cam.height), background, sh_degree,
+        max_per_tile=ocfg.max_per_tile,
+        max_pairs=ocfg.pairs_per_gaussian * state.params["xyz"].shape[0],
+    )
+    arr = np.asarray(jnp_.clip(img, 0, 1) * 255).astype(np.uint8)
+    viewer.send(arr, "pcp_tpu")
+    return cam.keep_alive and not cam.do_training and not training_done
+
+
 def train_scene(
     scene: SceneInfo,
     cfg: TrainRunConfig,
@@ -86,6 +119,8 @@ def train_scene(
     log_fn: Optional[Callable[[str], None]] = print,
     state: Optional[TrainState] = None,
     start_iter: int = 0,
+    viewer=None,
+    profile: bool = False,
 ) -> TrainState:
     """Train one scene/block; writes outputs under cfg.model.model_path.
 
@@ -129,6 +164,10 @@ def train_scene(
     from pcp_tpu.train.logging import TrainLogger
 
     logger = TrainLogger(model_path)
+    if profile:
+        # jax.profiler trace (SURVEY §5: replaces the reference's CUDA-event
+        # iter timing, train.py:57-58); view with tensorboard or xprof.
+        jax.profiler.start_trace(os.path.join(model_path, "trace"))
     rng = random.Random(cfg.seed)
     stack: List[int] = []
     ema_loss = 0.0
@@ -136,6 +175,11 @@ def train_scene(
     t_last = t0
     it_last = start_iter
     for it in range(start_iter + 1, ocfg.iterations + 1):
+        if viewer is not None:
+            sh_now = min(cfg.model.sh_degree, (it - 1) // 1000)
+            while poll_viewer(viewer, state, sh_now, background, ocfg,
+                              it >= ocfg.iterations):
+                pass
         if not stack:
             stack = list(range(len(cams)))
             rng.shuffle(stack)
@@ -201,6 +245,8 @@ def train_scene(
             ckpt.save(os.path.join(model_path, f"chkpnt{it}.npz"), state, it)
 
     save_model(state, model_path, ocfg.iterations, save_name)
+    if profile:
+        jax.profiler.stop_trace()
     logger.close()
     return state
 

@@ -88,12 +88,17 @@ def test_network_gui_roundtrip():
         received["img_len"] = len(img)
         s.close()
 
-    t = threading.Thread(target=client)
+    t = threading.Thread(target=client, daemon=True)
     t.start()
-    # poll until connected
-    for _ in range(100):
+    # poll until connected (non-blocking accept; give the client time)
+    import time
+
+    for _ in range(500):
         if gui.try_connect():
             break
+        time.sleep(0.01)
+    assert gui.conn is not None, "client never connected"
+    gui.conn.settimeout(10)
     cam = gui.receive()
     assert cam is not None and cam.width == 8 and cam.height == 6
     # Y/Z flip applied
