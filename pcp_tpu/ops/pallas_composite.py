@@ -53,7 +53,7 @@ ALPHA_MAX = 0.99
 T_EPS = 1.0e-4
 
 TB = 8     # tiles per block (sublane-divisible)
-CH = 128   # Gaussian slots per chunk = one MXU/lane width
+CH = 128   # Gaussian slots per chunk = one lane width
 
 
 def _last_slot(x):
@@ -168,13 +168,17 @@ def _fwd_kernel(mx, my, ca, cb, cc, cr, cg, cbl, op, valid,
     trans_in = t_scr[:]                                   # (TB, P)
     prod_raw = _cumprod_slots(1.0 - alpha)                # (TB, P, CH)
     t_after_raw = trans_in[:, :, None] * prod_raw
-    # minor-dim insertion on i1 is unsupported by Mosaic: broadcast the f32
-    # done flag, then compare in 3D
-    done_k = (d_scr[:][:, :, None] > 0.5) | (
-        _cumsum_slots((t_after_raw < T_EPS).astype(jnp.float32)) > 0.0
-    )
+    # prod_raw is monotonically non-increasing (factors <= 1), so the sticky
+    # stop needs NO scan: done at slot k iff T after k would be < eps.
+    # (i1 minor-dim broadcast unsupported: compare the f32 flag in 3D.)
+    done_k = (d_scr[:][:, :, None] > 0.5) | (t_after_raw < T_EPS)
     alpha = jnp.where(done_k, 0.0, alpha)
-    prod_incl = _cumprod_slots(1.0 - alpha)
+    # cumprod of the MASKED alphas == prod_raw frozen at its last valid
+    # value (monotonic, masked factors are 1): a min-reduction, not a scan.
+    frozen = jnp.min(
+        jnp.where(done_k, 1.0, prod_raw), axis=2, keepdims=True
+    )
+    prod_incl = jnp.where(done_k, frozen, prod_raw)
     t_excl = trans_in[:, :, None] * _shift_right_one(prod_incl, 1.0)
     w = alpha * t_excl                                    # (TB, P, CH)
 
