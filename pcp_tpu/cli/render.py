@@ -30,23 +30,19 @@ def render_split(cams, params, alive, sh_degree, out_dir, background, ocfg):
     import numpy as np
     from PIL import Image as PILImage
 
-    import jax.numpy as jnp
-
-    from pcp_tpu.scene.cameras import camera_device_arrays
-    from pcp_tpu.train.step import render_gaussians
+    from pcp_tpu.eval.render_batch import render_views
 
     renders = os.path.join(out_dir, "renders")
     gts = os.path.join(out_dir, "gt")
     os.makedirs(renders, exist_ok=True)
     os.makedirs(gts, exist_ok=True)
-    for i, cam in enumerate(cams):
-        viewmat, intrin = camera_device_arrays(cam)
-        img, _ = render_gaussians(
-            params, alive, viewmat, intrin, (cam.width, cam.height),
-            background, sh_degree, max_per_tile=ocfg.max_per_tile,
-            max_pairs=ocfg.pairs_per_gaussian * params["xyz"].shape[0],
-        )
-        arr = np.asarray(jnp.clip(img, 0, 1) * 255).astype(np.uint8)
+    images = render_views(
+        params, alive, cams, sh_degree, background,
+        max_per_tile=ocfg.max_per_tile,
+        pairs_per_gaussian=ocfg.pairs_per_gaussian,
+    )
+    for i, (cam, img) in enumerate(zip(cams, images)):
+        arr = (img * 255).astype(np.uint8)
         PILImage.fromarray(arr).save(os.path.join(renders, f"{i:05d}.png"))
         if cam.gt_image is not None:
             PILImage.fromarray((cam.gt_image * 255).astype(np.uint8)).save(

@@ -1,0 +1,66 @@
+"""Batched view rendering: many cameras per jit call.
+
+The reference renders test views one CUDA launch at a time (render.py:27-38).
+Here cameras stack into a leading axis and vmap renders them in one XLA
+program — on TPU this keeps the chip busy across views and amortises
+dispatch. All cameras in a batch share one image size (group by size)."""
+
+from __future__ import annotations
+
+from typing import List, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pcp_tpu.ops.projection import CameraIntrin
+from pcp_tpu.scene.cameras import Camera
+from pcp_tpu.train.step import render_gaussians
+
+
+def render_views(
+    params,
+    alive,
+    cams: Sequence[Camera],
+    sh_degree: int,
+    background,
+    *,
+    max_per_tile: int = 1024,
+    pairs_per_gaussian: int = 16,
+    batch: int = 8,
+) -> List[np.ndarray]:
+    """Render all cameras (one image size); returns a list of (H, W, 3)."""
+    if not cams:
+        return []
+    sizes = {(c.width, c.height) for c in cams}
+    assert len(sizes) == 1, f"one size per call, got {sizes}"
+    w, h = next(iter(sizes))
+    n = params["xyz"].shape[0]
+
+    @jax.jit
+    def render_batch(viewmats, intrins):
+        def one(viewmat, intrin):
+            img, _ = render_gaussians(
+                params, alive, viewmat, intrin, (w, h), background,
+                sh_degree, max_per_tile=max_per_tile,
+                max_pairs=pairs_per_gaussian * n,
+            )
+            return jnp.clip(img, 0.0, 1.0)
+
+        return jax.vmap(one)(viewmats, intrins)
+
+    out: List[np.ndarray] = []
+    for s in range(0, len(cams), batch):
+        group = list(cams[s:s + batch])
+        pad = batch - len(group)
+        group_p = group + [group[-1]] * pad
+        viewmats = jnp.asarray(np.stack([c.viewmat for c in group_p]))
+        intrins = CameraIntrin(
+            fx=jnp.asarray([c.fx for c in group_p], jnp.float32),
+            fy=jnp.asarray([c.fy for c in group_p], jnp.float32),
+            cx=jnp.asarray([c.width / 2.0 for c in group_p], jnp.float32),
+            cy=jnp.asarray([c.height / 2.0 for c in group_p], jnp.float32),
+        )
+        imgs = np.asarray(render_batch(viewmats, intrins))
+        out.extend(imgs[: len(group)])
+    return out

@@ -1,0 +1,88 @@
+"""Intra-block Gaussian-axis sharding on the 8-virtual-device CPU mesh:
+the sharded render must match the single-device render, and the ZeRO-style
+step must reduce the loss."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pcp_tpu.models import gaussians as G
+from pcp_tpu.ops.projection import CameraIntrin
+from pcp_tpu.parallel.intra_block import (
+    gauss_mesh,
+    make_sharded_render,
+    make_sharded_train_step,
+    shard_params,
+)
+from pcp_tpu.train.config import OptimConfig
+from pcp_tpu.train.step import render_gaussians
+
+W, H = 64, 64  # 4x4 tiles; 8 devices -> 1 tile-row band each (padded)
+
+
+def _setup(rng, n=96, cap=256):
+    xyz = np.stack(
+        [rng.uniform(-2, 2, n), rng.uniform(-1.5, 1.5, n),
+         rng.uniform(2, 6, n)], -1,
+    ).astype(np.float32)
+    rgb = rng.uniform(0, 1, (n, 3)).astype(np.float32)
+    params, alive = G.create_from_pcd(
+        xyz, rgb, G.GaussianConfig(sh_degree=3, capacity=cap)
+    )
+    intrin = CameraIntrin(
+        fx=jnp.float32(50.0), fy=jnp.float32(50.0),
+        cx=jnp.float32(W / 2), cy=jnp.float32(H / 2),
+    )
+    return params, alive, intrin
+
+
+def test_sharded_render_matches_single_device(rng):
+    params, alive, intrin = _setup(rng)
+    bg = jnp.asarray([0.1, 0.2, 0.3])
+    viewmat = jnp.eye(4)
+
+    ref, _ = render_gaussians(
+        params, alive, viewmat, intrin, (W, H), bg, 3,
+        max_per_tile=128, max_pairs=1 << 14,
+    )
+
+    mesh = gauss_mesh(8)
+    p_sh, a_sh = shard_params(params, alive, mesh)
+    render = make_sharded_render(mesh, (W, H), 3, max_per_tile=128,
+                                 pairs_per_gaussian=64)
+    img = render(p_sh, a_sh, viewmat, intrin, bg)
+    np.testing.assert_allclose(np.asarray(img), np.asarray(ref), atol=3e-5)
+
+
+def test_sharded_train_step_reduces_loss(rng):
+    params, alive, intrin = _setup(rng)
+    bg = jnp.zeros(3)
+    viewmat = jnp.eye(4)
+    # target: a render from perturbed params
+    gt, _ = render_gaussians(
+        params, alive, viewmat, intrin, (W, H), bg, 0,
+        max_per_tile=128, max_pairs=1 << 14,
+    )
+    gt = jnp.clip(gt, 0, 1)
+
+    mesh = gauss_mesh(8)
+    noisy = dict(params)
+    noisy["f_dc"] = params["f_dc"] + 0.3
+    p_sh, a_sh = shard_params(noisy, alive, mesh)
+    from pcp_tpu.train import optim
+
+    opt = optim.init_adam(p_sh)
+    ocfg = OptimConfig(pairs_per_gaussian=64)
+    step = make_sharded_train_step(mesh, ocfg, (W, H), max_per_tile=128)
+
+    losses = []
+    for _ in range(30):
+        p_sh, opt, loss = step(
+            p_sh, opt, a_sh, viewmat, intrin, gt, bg, jnp.float32(3.0), 0
+        )
+        losses.append(float(loss))
+    assert losses[-1] < losses[0] * 0.7, losses[:3] + losses[-3:]
+    # params stayed sharded (no silent replication)
+    shard_shapes = {s.data.shape for s in p_sh["xyz"].addressable_shards}
+    assert shard_shapes == {(256 // 8, 3)}
