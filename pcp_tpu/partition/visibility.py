@@ -90,22 +90,52 @@ def hull_area_ratio(pix: np.ndarray, width: float, height: float) -> float:
     return _poly_area(poly) / (width * height)
 
 
+def _support_points(pix: np.ndarray, front: np.ndarray, k_dirs: int = 72):
+    """Per-camera convex-hull support points in ``k_dirs`` directions.
+
+    The hull of the support set equals the true hull up to an inscribed-
+    polygon error of O((2 pi / K)^2) (< 0.4% area at K = 72), and reduces
+    the per-camera hull from |cloud| points to <= K — the step that made
+    exact ConvexHulls over 10^5-point projections the partitioner's
+    bottleneck. Vectorized: one masked argmax over points per direction.
+
+    pix (C, N, 2), front (C, N) -> (C, K, 2) support coordinates and a
+    (C,) count of in-front points.
+    """
+    c, n, _ = pix.shape
+    ang = np.linspace(0.0, 2.0 * np.pi, k_dirs, endpoint=False)
+    dirs = np.stack([np.cos(ang), np.sin(ang)], axis=1)  # (K, 2)
+    neg = np.float32(-1e30)
+    out = np.empty((c, k_dirs, 2), np.float32)
+    px = np.where(front, pix[..., 0], 0.0).astype(np.float32)
+    py = np.where(front, pix[..., 1], 0.0).astype(np.float32)
+    for j in range(k_dirs):
+        score = px * dirs[j, 0] + py * dirs[j, 1]
+        score = np.where(front, score, neg)
+        idx = np.argmax(score, axis=1)                    # (C,)
+        rows = np.arange(c)
+        out[:, j, 0] = px[rows, idx]
+        out[:, j, 1] = py[rows, idx]
+    return out, front.sum(axis=1)
+
+
 def select_cameras_by_visibility(
     block_points: np.ndarray,
     cameras: Sequence[CameraInfo],
     threshold: float = VISIBLE_RATE_THRESHOLD,
-    cam_batch: int = 256,
+    cam_batch: int = 128,
 ) -> List[int]:
     """Filter ``cameras`` to those that see >= threshold of the image area
     covered by the block's hull (visibility_based_camera_selection,
     shen_partation_densify.py:911-954). Returns kept camera uids."""
     if len(cameras) == 0 or len(block_points) < 4:
         return []
-    Rs = np.stack([c.R for c in cameras])
-    ts = np.stack([c.t for c in cameras])
-    focals = np.array([c.focal() for c in cameras])
-    cxs = np.array([c.width / 2.0 for c in cameras])
-    cys = np.array([c.height / 2.0 for c in cameras])
+    Rs = np.stack([c.R for c in cameras]).astype(np.float32)
+    ts = np.stack([c.t for c in cameras]).astype(np.float32)
+    focals = np.array([c.focal() for c in cameras], np.float32)
+    cxs = np.array([c.width / 2.0 for c in cameras], np.float32)
+    cys = np.array([c.height / 2.0 for c in cameras], np.float32)
+    block_points = np.ascontiguousarray(block_points, np.float32)
 
     kept: List[int] = []
     for s in range(0, len(cameras), cam_batch):
@@ -114,8 +144,10 @@ def select_cameras_by_visibility(
             block_points, Rs[sl], ts[sl],
             focals[sl, 0], focals[sl, 1], cxs[sl], cys[sl],
         )
+        support, n_front = _support_points(pix, front)
         for k, cam in enumerate(cameras[sl]):
-            pts = pix[k][front[k]]
-            if hull_area_ratio(pts, cam.width, cam.height) >= threshold:
+            if n_front[k] <= 3:
+                continue
+            if hull_area_ratio(support[k], cam.width, cam.height) >= threshold:
                 kept.append(cam.uid)
     return kept

@@ -47,3 +47,19 @@ def test_knn_tiny_counts():
     pts = jnp.asarray(np.array([[0.0, 0, 0], [1, 0, 0]], np.float32))
     out = np.asarray(mean_sq_dist_3nn(pts))
     np.testing.assert_allclose(out, [1.0, 1.0], rtol=1e-5)
+
+
+def test_kth_nn_dist2_np_matches_bruteforce(rng):
+    from pcp_tpu.ops.knn import kth_nn_dist2_np
+
+    pts = (rng.uniform(0, 1, (300, 3)) * [1, 1, 0.2]).astype(np.float32)
+    got = kth_nn_dist2_np(pts, k=5, window=32)
+    d2 = ((pts[:, None] - pts[None]) ** 2).sum(-1)
+    np.fill_diagonal(d2, np.inf)
+    want = np.sort(d2, axis=1)[:, 4]
+    # approximate, overestimates only; what the outlier filter consumes is
+    # the *decision* kth-dist <= r, which must track the exact one closely
+    assert np.all(got >= want - 1e-5)
+    r2 = np.median(want)  # a discriminative radius
+    agree = np.mean((got <= r2) == (want <= r2))
+    assert agree > 0.9, agree
