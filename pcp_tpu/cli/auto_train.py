@@ -47,6 +47,9 @@ def main(argv=None) -> None:
                    help="<model>/split_result/visible")
     p.add_argument("--sequential", action="store_true")
     p.add_argument("--n_devices", type=int, default=None)
+    p.add_argument("--device_data", action="store_true",
+                   help="keep per-block camera banks (incl. images) device-"
+                        "resident; host sends only camera indices per step")
     p.add_argument("--retry_failed", action="store_true",
                    help="only (re)train blocks not marked done in the manifest")
     add_model_args(p)
@@ -106,7 +109,8 @@ def main(argv=None) -> None:
         mark(bid, status="running")
     mesh = block_mesh(args.n_devices)
     print(f"fleet: {len(scenes)} blocks over {mesh.devices.size} devices")
-    states = train_blocks_parallel(scenes, cfg, mesh=mesh, seed=cfg.seed)
+    states = train_blocks_parallel(scenes, cfg, mesh=mesh, seed=cfg.seed,
+                                   device_data=args.device_data)
     for (bid, block_dir), state in zip(blocks, states):
         bcfg_path = out_dir(block_dir)
         save_model(state, bcfg_path, cfg.optim.iterations, f"{bid}_point_cloud")

@@ -9,7 +9,10 @@ the only collectives are for aggregate metrics.
 """
 
 from pcp_tpu.parallel.fleet import (  # noqa: F401
+    CameraBank,
     FleetState,
+    build_camera_bank,
+    make_fleet_step_banked,
     block_mesh,
     make_fleet_step,
     pad_blocks,

@@ -190,6 +190,104 @@ def stack_intrins(intrins: Sequence[CameraIntrin]) -> CameraIntrin:
     )
 
 
+class CameraBank(NamedTuple):
+    """Device-resident per-block camera data: (B, C, ...) arrays sharded
+    over the blocks axis. Removes the per-step host->device ground-truth
+    image transfer — the host only sends (B,) camera indices."""
+
+    viewmats: jnp.ndarray    # (B, C, 4, 4)
+    fx: jnp.ndarray          # (B, C)
+    fy: jnp.ndarray
+    cx: jnp.ndarray
+    cy: jnp.ndarray
+    uid: jnp.ndarray         # (B, C) int32 appearance embedding ids
+    gts: jnp.ndarray         # (B, C, H, W, 3)
+    n_cams: jnp.ndarray      # (B,) int32 live cameras (rest are repeats)
+
+
+def build_camera_bank(block_cams, mesh: Mesh) -> CameraBank:
+    """Stack per-block camera lists (padded by cycling) and shard them."""
+    b = len(block_cams)
+    c_max = max(len(cams) for cams in block_cams)
+    w, h = block_cams[0][0].width, block_cams[0][0].height
+    viewmats = np.zeros((b, c_max, 4, 4), np.float32)
+    fx = np.zeros((b, c_max), np.float32)
+    fy = np.zeros((b, c_max), np.float32)
+    cx = np.zeros((b, c_max), np.float32)
+    cy = np.zeros((b, c_max), np.float32)
+    uid = np.zeros((b, c_max), np.int32)
+    gts = np.zeros((b, c_max, h, w, 3), np.float32)
+    n_cams = np.zeros((b,), np.int32)
+    for bi, cams in enumerate(block_cams):
+        n_cams[bi] = len(cams)
+        for ci in range(c_max):
+            cam = cams[ci % len(cams)]
+            viewmats[bi, ci] = cam.viewmat
+            fx[bi, ci] = cam.fx
+            fy[bi, ci] = cam.fy
+            cx[bi, ci] = cam.width / 2.0
+            cy[bi, ci] = cam.height / 2.0
+            uid[bi, ci] = cam.uid
+            gts[bi, ci] = cam.gt_image
+    sharding = NamedSharding(mesh, P("blocks"))
+    put = lambda x: jax.device_put(jnp.asarray(x), sharding)
+    return CameraBank(
+        put(viewmats), put(fx), put(fy), put(cx), put(cy), put(uid),
+        put(gts), put(n_cams),
+    )
+
+
+def make_fleet_step_banked(
+    ocfg: OptimConfig,
+    image_size,
+    mesh: Mesh,
+    *,
+    use_appearance: bool = True,
+):
+    """Fleet step reading cameras from a device-resident CameraBank; the
+    host supplies only (B,) per-block camera indices per step."""
+    impl = functools.partial(
+        train_step_impl,
+        ocfg=ocfg,
+        image_size=image_size,
+        use_appearance=use_appearance,
+    )
+
+    def local_shard(fleet_state, extents, bank: CameraBank, cam_idx,
+                    background, sh_degree):
+        def per_block(s, e, bk, ci):
+            ci = ci % jnp.maximum(bk.n_cams, 1)
+            intrin = CameraIntrin(bk.fx[ci], bk.fy[ci], bk.cx[ci], bk.cy[ci])
+            return impl(
+                s, bk.viewmats[ci], intrin, bk.gts[ci], bk.uid[ci],
+                background, e, sh_degree=sh_degree,
+            )
+
+        return jax.vmap(
+            lambda s, e, *bk_ci: per_block(s, e, CameraBank(*bk_ci[:-1]), bk_ci[-1])
+        )(fleet_state, extents, *bank, cam_idx)
+
+    spec_b = P("blocks")
+
+    @functools.partial(jax.jit, static_argnames=("sh_degree",), donate_argnums=(0,))
+    def fleet_step(fleet: FleetState, bank: CameraBank, cam_idx, background,
+                   sh_degree: int):
+        f = shard_map(
+            functools.partial(local_shard, sh_degree=sh_degree),
+            mesh=mesh,
+            in_specs=(spec_b, spec_b, jax.tree_util.tree_map(lambda _: spec_b, bank),
+                      spec_b, P()),
+            out_specs=(spec_b, spec_b),
+            check_vma=False,
+        )
+        new_state, metrics = f(
+            fleet.state, fleet.extents, bank, cam_idx, background
+        )
+        return FleetState(new_state, fleet.extents, fleet.valid), metrics
+
+    return fleet_step
+
+
 def train_blocks_parallel(
     block_scenes,                  # List[SceneInfo] (one per block)
     cfg,                           # TrainRunConfig
@@ -198,12 +296,15 @@ def train_blocks_parallel(
     iterations: Optional[int] = None,
     log_fn=print,
     seed: int = 0,
+    device_data: bool = False,
 ) -> List[TrainState]:
     """Train every block simultaneously on the mesh; returns per-block final
     states (ordered like ``block_scenes``).
 
-    Host responsibilities per step: pick a random camera per block, stack
-    (viewmat, intrin, gt, uid) across blocks. Device: one SPMD step.
+    Host responsibilities per step: pick a random camera per block; with
+    ``device_data`` the per-block camera banks (incl. ground-truth images)
+    live sharded on the devices and the host sends only (B,) indices —
+    otherwise it stacks and ships (viewmat, intrin, gt, uid) each step.
     """
     import random as _random
 
@@ -237,9 +338,18 @@ def train_blocks_parallel(
     fleet = shard_fleet(fleet, mesh)
     b_pad = int(fleet.valid.shape[0])
 
-    step_fn = make_fleet_step(
-        ocfg, (w, h), mesh, use_appearance=cfg.pipeline.use_appearance
-    )
+    bank = None
+    if device_data:
+        # pad camera lists to b_pad by reusing the last block's cameras
+        padded_cams = block_cams + [block_cams[-1]] * (b_pad - len(block_cams))
+        bank = build_camera_bank(padded_cams, mesh)
+        step_fn = make_fleet_step_banked(
+            ocfg, (w, h), mesh, use_appearance=cfg.pipeline.use_appearance
+        )
+    else:
+        step_fn = make_fleet_step(
+            ocfg, (w, h), mesh, use_appearance=cfg.pipeline.use_appearance
+        )
     densify_fn = make_fleet_densify(ocfg, mesh)
     reset_fn = make_fleet_opacity_reset(mesh)
 
@@ -250,29 +360,37 @@ def train_blocks_parallel(
     rngs = [_random.Random(seed + 17 * i) for i in range(b_pad)]
     stacks: List[List[int]] = [[] for _ in range(b_pad)]
 
-    def pick(bi: int):
+    def pick_idx(bi: int) -> int:
         cams = block_cams[min(bi, len(block_cams) - 1)]
         if not stacks[bi]:
             stacks[bi] = list(range(len(cams)))
             rngs[bi].shuffle(stacks[bi])
-        return cams[stacks[bi].pop()]
+        return stacks[bi].pop()
 
     for it in range(1, iterations + 1):
-        chosen = [pick(bi) for bi in range(b_pad)]
-        viewmats = jnp.asarray(np.stack([c.viewmat for c in chosen]))
-        intrins = CameraIntrin(
-            fx=jnp.asarray([c.fx for c in chosen], jnp.float32),
-            fy=jnp.asarray([c.fy for c in chosen], jnp.float32),
-            cx=jnp.asarray([c.width / 2.0 for c in chosen], jnp.float32),
-            cy=jnp.asarray([c.height / 2.0 for c in chosen], jnp.float32),
-        )
-        gts = jnp.asarray(np.stack([c.gt_image for c in chosen]))
-        view_idx = jnp.asarray([c.uid for c in chosen], jnp.int32)
         sh_degree = min(cfg.model.sh_degree, (it - 1) // 1000)
-
-        fleet, metrics = step_fn(
-            fleet, viewmats, intrins, gts, view_idx, background, sh_degree
-        )
+        if device_data:
+            cam_idx = jnp.asarray(
+                [pick_idx(bi) for bi in range(b_pad)], jnp.int32
+            )
+            fleet, metrics = step_fn(fleet, bank, cam_idx, background, sh_degree)
+        else:
+            chosen = [
+                block_cams[min(bi, len(block_cams) - 1)][pick_idx(bi)]
+                for bi in range(b_pad)
+            ]
+            viewmats = jnp.asarray(np.stack([c.viewmat for c in chosen]))
+            intrins = CameraIntrin(
+                fx=jnp.asarray([c.fx for c in chosen], jnp.float32),
+                fy=jnp.asarray([c.fy for c in chosen], jnp.float32),
+                cx=jnp.asarray([c.width / 2.0 for c in chosen], jnp.float32),
+                cy=jnp.asarray([c.height / 2.0 for c in chosen], jnp.float32),
+            )
+            gts = jnp.asarray(np.stack([c.gt_image for c in chosen]))
+            view_idx = jnp.asarray([c.uid for c in chosen], jnp.int32)
+            fleet, metrics = step_fn(
+                fleet, viewmats, intrins, gts, view_idx, background, sh_degree
+            )
 
         if ocfg.densify_from_iter <= it <= ocfg.densify_until_iter:
             if it % ocfg.densification_interval == 0:

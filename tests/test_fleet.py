@@ -152,3 +152,25 @@ def test_train_blocks_parallel_e2e(synth, tmp_path):
         after = evaluate_cameras(st, cams, 0, bg, cfg.optim)
         improved += after["psnr"] > before["psnr"]
     assert improved >= max(1, len(block_scenes) - 1)
+
+
+def test_fleet_banked_matches_host_fed(synth, tmp_path):
+    """device-resident camera banks must produce the same training as the
+    host-fed path given the same camera sequence."""
+    from pcp_tpu.scene import load_colmap_scene
+    from pcp_tpu.parallel import train_blocks_parallel
+
+    scene = load_colmap_scene(synth)
+    cfg = _cfg()
+    cfg.optim.iterations = 20
+    cfg.optim.densify_from_iter = 10_000
+    scenes = [scene, scene]
+    a = train_blocks_parallel(scenes, cfg, mesh=block_mesh(2), log_fn=None,
+                              seed=3, device_data=False)
+    b = train_blocks_parallel(scenes, cfg, mesh=block_mesh(2), log_fn=None,
+                              seed=3, device_data=True)
+    for sa, sb in zip(a, b):
+        np.testing.assert_allclose(
+            np.asarray(sa.params["xyz"]), np.asarray(sb.params["xyz"]),
+            rtol=1e-5, atol=1e-7,
+        )
