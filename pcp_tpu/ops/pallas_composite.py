@@ -54,6 +54,7 @@ T_EPS = 1.0e-4
 
 TB = 8     # tiles per block (sublane-divisible)
 CH = 128   # Gaussian slots per chunk = one lane width
+PP = 128   # pixel slice per backward grid step
 
 
 def _last_slot(x):
@@ -76,39 +77,66 @@ def _cumsum_slots(x):
     return x
 
 
-def _cumprod_slots(x):
+def _cumprod_slots(x, scr=None):
     """Inclusive cumprod along the slot axis (same scan, multiplicative).
     Direct products replace the log1p/exp round-trips — transcendental
-    throughput, not FLOPs, bounds this kernel."""
+    throughput, not FLOPs, bounds this kernel. When ``scr`` (a VMEM ref of
+    x's shape) is given, every scan step rewrites it in place: without it,
+    Mosaic's stack allocator keeps all log2(CH) intermediate buffers live
+    (~7 MB each scan) and the kernel blows the 16 MB VMEM budget."""
     lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 2)
+    if scr is None:
+        d = 1
+        while d < CH:
+            x = x * jnp.where(lane >= d, pltpu.roll(x, d, axis=2), 1.0)
+            d *= 2
+        return x
+    scr[:] = x
     d = 1
     while d < CH:
-        shifted = pltpu.roll(x, d, axis=2)
-        x = x * jnp.where(lane >= d, shifted, 1.0)
+        scr[:] = scr[:] * jnp.where(lane >= d, pltpu.roll(scr[:], d, axis=2), 1.0)
         d *= 2
-    return x
+    return scr[:]
 
 
-def _cumprod_slots_rev(x):
-    """Suffix (reverse-inclusive) cumprod along the slot axis."""
+def _cumprod_slots_rev(x, scr=None):
+    """Suffix (reverse-inclusive) cumprod along the slot axis (in-place in
+    ``scr`` when given — see _cumprod_slots)."""
     lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 2)
+    if scr is None:
+        d = 1
+        while d < CH:
+            x = x * jnp.where(lane < CH - d, pltpu.roll(x, CH - d, axis=2), 1.0)
+            d *= 2
+        return x
+    scr[:] = x
     d = 1
     while d < CH:
-        shifted = pltpu.roll(x, CH - d, axis=2)  # == roll by -d (wraps)
-        x = x * jnp.where(lane < CH - d, shifted, 1.0)
+        scr[:] = scr[:] * jnp.where(
+            lane < CH - d, pltpu.roll(scr[:], CH - d, axis=2), 1.0
+        )
         d *= 2
-    return x
+    return scr[:]
 
 
-def _cumsum_slots_rev(x):
-    """Suffix (reverse-inclusive) cumsum along the slot axis."""
+def _cumsum_slots_rev(x, scr=None):
+    """Suffix (reverse-inclusive) cumsum along the slot axis (in-place in
+    ``scr`` when given — see _cumprod_slots)."""
     lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 2)
+    if scr is None:
+        d = 1
+        while d < CH:
+            x = x + jnp.where(lane < CH - d, pltpu.roll(x, CH - d, axis=2), 0.0)
+            d *= 2
+        return x
+    scr[:] = x
     d = 1
     while d < CH:
-        shifted = pltpu.roll(x, CH - d, axis=2)  # == roll by -d (wraps)
-        x = x + jnp.where(lane < CH - d, shifted, 0.0)
+        scr[:] = scr[:] + jnp.where(
+            lane < CH - d, pltpu.roll(scr[:], CH - d, axis=2), 0.0
+        )
         d *= 2
-    return x
+    return scr[:]
 
 
 def _shift_right_one(x, fill):
@@ -121,6 +149,17 @@ def _pix_coords(i, tiles_x):
     """Pixel centers for the TB tiles of block i: (TB, P)."""
     rows = i * TB + jax.lax.broadcasted_iota(jnp.int32, (TB, P), 0)
     lane = jax.lax.broadcasted_iota(jnp.int32, (TB, P), 1)
+    x0 = (rows % tiles_x) * TILE
+    y0 = (rows // tiles_x) * TILE
+    px = (x0 + lane % TILE).astype(jnp.float32)
+    py = (y0 + lane // TILE).astype(jnp.float32)
+    return px, py
+
+
+def _pix_coords_slice(i, p_idx, tiles_x):
+    """Pixel centers for tile block i, pixel slice p_idx: (TB, PP)."""
+    rows = i * TB + jax.lax.broadcasted_iota(jnp.int32, (TB, PP), 0)
+    lane = p_idx * PP + jax.lax.broadcasted_iota(jnp.int32, (TB, PP), 1)
     x0 = (rows % tiles_x) * TILE
     y0 = (rows // tiles_x) * TILE
     px = (x0 + lane % TILE).astype(jnp.float32)
@@ -147,9 +186,22 @@ def _local_alpha(mx, my, ca, cb, cc, op, valid, px, py):
     return alpha, dx, dy
 
 
-def _fwd_kernel(mx, my, ca, cb, cc, cr, cg, cbl, op, valid,
-                color_ref, tfin_ref, ncontrib_ref,
-                t_scr, d_scr, nc_scr, *, tiles_x):
+NA = 16  # packed attribute rows: mx my ca cb cc r g b op valid pad...
+_I_MX, _I_MY, _I_CA, _I_CB, _I_CC, _I_R, _I_G, _I_B, _I_OP, _I_VALID = range(10)
+
+
+def _row(att, j):
+    """att (TB, NA, CH) -> attribute plane j as (TB, CH) (static slice)."""
+    return jax.lax.slice_in_dim(att, j, j + 1, axis=1)[:, 0, :]
+
+
+def _gc_row(gc, j):
+    """gcolor (TB, 3, P) -> channel j as (TB, P, 1)."""
+    return jax.lax.slice_in_dim(gc, j, j + 1, axis=1)[:, 0, :][:, :, None]
+
+
+def _fwd_kernel(att, color_ref, tfin_ref, ncontrib_ref,
+                t_scr, d_scr, nc_scr, scan_scr, *, tiles_x):
     i = pl.program_id(0)
     c_idx = pl.program_id(1)
 
@@ -160,13 +212,15 @@ def _fwd_kernel(mx, my, ca, cb, cc, cr, cg, cbl, op, valid,
         nc_scr[:] = jnp.zeros_like(nc_scr)
         color_ref[:] = jnp.zeros_like(color_ref)
 
+    a = att[:]
     px, py = _pix_coords(i, tiles_x)
     alpha, _, _ = _local_alpha(
-        mx[:], my[:], ca[:], cb[:], cc[:], op[:], valid[:], px, py
+        _row(a, _I_MX), _row(a, _I_MY), _row(a, _I_CA), _row(a, _I_CB),
+        _row(a, _I_CC), _row(a, _I_OP), _row(a, _I_VALID), px, py,
     )
 
     trans_in = t_scr[:]                                   # (TB, P)
-    prod_raw = _cumprod_slots(1.0 - alpha)                # (TB, P, CH)
+    prod_raw = _cumprod_slots(1.0 - alpha, scan_scr)      # (TB, P, CH)
     t_after_raw = trans_in[:, :, None] * prod_raw
     # prod_raw is monotonically non-increasing (factors <= 1), so the sticky
     # stop needs NO scan: done at slot k iff T after k would be < eps.
@@ -184,9 +238,9 @@ def _fwd_kernel(mx, my, ca, cb, cc, cr, cg, cbl, op, valid,
 
     color_ref[:] = color_ref[:] + jnp.stack(
         [
-            jnp.sum(w * cr[:][:, None, :], axis=2),
-            jnp.sum(w * cg[:][:, None, :], axis=2),
-            jnp.sum(w * cbl[:][:, None, :], axis=2),
+            jnp.sum(w * _row(a, _I_R)[:, None, :], axis=2),
+            jnp.sum(w * _row(a, _I_G)[:, None, :], axis=2),
+            jnp.sum(w * _row(a, _I_B)[:, None, :], axis=2),
         ],
         axis=1,
     )
@@ -211,81 +265,95 @@ def _fwd_kernel(mx, my, ca, cb, cc, cr, cg, cbl, op, valid,
         ncontrib_ref[:] = nc_scr[:]
 
 
-def _bwd_kernel(mx, my, ca, cb, cc, cr, cg, cbl, op, valid,
-                gcolor, gtfin, tfin, ncontrib,
-                dmx, dmy, dca, dcb, dcc, dcr, dcg, dcbl, dop,
-                t_scr, s_scr, *, tiles_x):
+def _bwd_kernel(att, gcolor, gtfin, tfin, ncontrib,
+                datt, t_scr, s_scr, scan1, scan2, *, tiles_x):
+    """Grid (tile block, reversed chunk, pixel slice) — pixel slice is the
+    innermost dim so the revisited datt accumulator block is written in
+    consecutive steps; the (T, S) carries live in full-width scratch and are
+    indexed per pixel slice."""
     i = pl.program_id(0)
     c_rev = pl.program_id(1)
+    p_idx = pl.program_id(2)
     n_chunks = pl.num_programs(1)
     c_idx = n_chunks - 1 - c_rev   # true chunk index (blocks mapped reversed)
+    psl = pl.ds(p_idx * PP, PP)
 
     @pl.when(c_rev == 0)
     def _():
-        t_scr[:] = tfin[:]                       # T after the LAST chunk
-        s_scr[:] = tfin[:] * gtfin[:]            # suffix incl. final-T term
+        t_scr[:, psl] = tfin[:]                  # T after the LAST chunk
+        s_scr[:, psl] = tfin[:] * gtfin[:]       # suffix incl. final-T term
 
-    px, py = _pix_coords(i, tiles_x)
+    @pl.when(p_idx == 0)
+    def _():
+        datt[:] = jnp.zeros_like(datt)
+
+    at = att[:]
+    px, py = _pix_coords_slice(i, p_idx, tiles_x)
     alpha, dx, dy = _local_alpha(
-        mx[:], my[:], ca[:], cb[:], cc[:], op[:], valid[:], px, py
+        _row(at, _I_MX), _row(at, _I_MY), _row(at, _I_CA), _row(at, _I_CB),
+        _row(at, _I_CC), _row(at, _I_OP), _row(at, _I_VALID), px, py,
     )
     slot = (
         c_idx * CH + jax.lax.broadcasted_iota(jnp.int32, alpha.shape, 2)
     ).astype(jnp.float32)
     alpha = jnp.where(slot < ncontrib[:][:, :, None], alpha, 0.0)
 
-    t_end = t_scr[:]                              # (TB, P): T after chunk
+    t_end = t_scr[:, psl]                         # (TB, PP): T after chunk
     # suffix product of (1 - alpha): T before slot k = t_end / suffix[k].
-    # Bounded: the forward's sticky stop keeps T >= ~1e-4 among applied
+    # Bounded: the forward sticky stop keeps T >= ~1e-4 among applied
     # slots, so the divisor never underflows where the result matters.
-    suffix = _cumprod_slots_rev(1.0 - alpha)
+    suffix = _cumprod_slots_rev(1.0 - alpha, scan1)
     t_excl = t_end[:, :, None] / suffix           # T before slot k
     w = alpha * t_excl
 
-    gC = gcolor[:]                                # (TB, 3, P)
+    gC = gcolor[:]                                # (TB, 3, PP)
     rgb_dot_g = (
-        cr[:][:, None, :] * jax.lax.slice_in_dim(gC, 0, 1, axis=1)[:, 0, :][:, :, None]
-        + cg[:][:, None, :] * jax.lax.slice_in_dim(gC, 1, 2, axis=1)[:, 0, :][:, :, None]
-        + cbl[:][:, None, :] * jax.lax.slice_in_dim(gC, 2, 3, axis=1)[:, 0, :][:, :, None]
-    )                                             # (TB, P, CH)
+        _row(at, _I_R)[:, None, :] * _gc_row(gC, 0)
+        + _row(at, _I_G)[:, None, :] * _gc_row(gC, 1)
+        + _row(at, _I_B)[:, None, :] * _gc_row(gC, 2)
+    )                                             # (TB, PP, CH)
     contrib = w * rgb_dot_g
-    csuf = _cumsum_slots_rev(contrib)             # sum_{j>=k} contrib_j
-    s_k = csuf - contrib + s_scr[:][:, :, None]   # strictly-later + carry
+    csuf = _cumsum_slots_rev(contrib, scan2)      # sum_{j>=k} contrib_j
+    s_k = csuf - contrib + s_scr[:, psl][:, :, None]
 
     denom = jnp.maximum(1.0 - alpha, 1.0 - ALPHA_MAX)
     dalpha = t_excl * rgb_dot_g - s_k / denom
     dalpha = jnp.where(alpha > 0.0, dalpha, 0.0)
 
-    opb = jnp.maximum(op[:][:, None, :], ALPHA_MIN)
+    opb = jnp.maximum(_row(at, _I_OP)[:, None, :], ALPHA_MIN)
     g_val = alpha / opb                           # exp(power) where applied
     unclamped = alpha < ALPHA_MAX
     dop_pix = jnp.where(unclamped, dalpha * g_val, 0.0)
     dpower = jnp.where(unclamped, dalpha * alpha, 0.0)
 
-    a = ca[:][:, None, :]
-    b = cb[:][:, None, :]
-    c = cc[:][:, None, :]
-    dmx[:] = jnp.sum(dpower * (a * dx + b * dy), axis=1)
-    dmy[:] = jnp.sum(dpower * (c * dy + b * dx), axis=1)
-    dca[:] = jnp.sum(dpower * (-0.5 * dx * dx), axis=1)
-    dcb[:] = jnp.sum(dpower * (-dx * dy), axis=1)
-    dcc[:] = jnp.sum(dpower * (-0.5 * dy * dy), axis=1)
-    dcr[:] = jnp.sum(w * jax.lax.slice_in_dim(gC, 0, 1, axis=1)[:, 0, :][:, :, None], axis=1)
-    dcg[:] = jnp.sum(w * jax.lax.slice_in_dim(gC, 1, 2, axis=1)[:, 0, :][:, :, None], axis=1)
-    dcbl[:] = jnp.sum(w * jax.lax.slice_in_dim(gC, 2, 3, axis=1)[:, 0, :][:, :, None], axis=1)
-    dop[:] = jnp.sum(dop_pix, axis=1)
+    ca3 = _row(at, _I_CA)[:, None, :]
+    cb3 = _row(at, _I_CB)[:, None, :]
+    cc3 = _row(at, _I_CC)[:, None, :]
+    zero = jnp.zeros((dx.shape[0], 1, dx.shape[2]), jnp.float32)
+    planes = [
+        jnp.sum(dpower * (ca3 * dx + cb3 * dy), axis=1)[:, None, :],   # dmx
+        jnp.sum(dpower * (cc3 * dy + cb3 * dx), axis=1)[:, None, :],   # dmy
+        jnp.sum(dpower * (-0.5 * dx * dx), axis=1)[:, None, :],        # dca
+        jnp.sum(dpower * (-dx * dy), axis=1)[:, None, :],              # dcb
+        jnp.sum(dpower * (-0.5 * dy * dy), axis=1)[:, None, :],        # dcc
+        jnp.sum(w * _gc_row(gC, 0), axis=1)[:, None, :],               # dr
+        jnp.sum(w * _gc_row(gC, 1), axis=1)[:, None, :],               # dg
+        jnp.sum(w * _gc_row(gC, 2), axis=1)[:, None, :],               # db
+        jnp.sum(dop_pix, axis=1)[:, None, :],                          # dop
+    ] + [zero] * (NA - 9)
+    datt[:] = datt[:] + jnp.concatenate(planes, axis=1)
 
     # carries for the next (earlier) chunk
     first = lambda x: jax.lax.slice_in_dim(x, 0, 1, axis=2)[:, :, 0]
-    t_scr[:] = t_end / first(suffix)              # T before this chunk
-    s_scr[:] = s_scr[:] + first(csuf)
+    t_scr[:, psl] = t_end / first(suffix)         # T before this chunk
+    s_scr[:, psl] = s_scr[:, psl] + first(csuf)
 
 
 def _specs(n_chunks, reverse=False):
     """index_map returns BLOCK indices (units of the block shape)."""
 
     def att(i, c):
-        return (i, (n_chunks - 1 - c) if reverse else c)
+        return (i, 0, (n_chunks - 1 - c) if reverse else c)
 
     def per_tile2(i, c):
         return (i, 0)
@@ -296,25 +364,31 @@ def _specs(n_chunks, reverse=False):
     return att, per_tile2, per_tile3
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(10,))
-def composite_tiles(mx, my, ca, cb, cc, r, g, b, op, valid, tiles_x):
-    """(nt, K) per-tile-slot attributes -> (color (nt,3,P), t_fin (nt,P)).
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def composite_tiles(att, tiles_x):
+    """Packed per-tile-slot attributes (nt, NA, K) -> (color (nt, 3, P),
+    t_fin (nt, P)).
 
-    nt must be a multiple of TB and K a multiple of CH (caller pads).
+    Attribute rows: [mx, my, conic_a, conic_b, conic_c, r, g, b, opacity,
+    valid, pad...]. nt must be a multiple of TB and K of CH (caller pads).
+    One packed tensor instead of 10 planes: the wrapper's per-tile gather
+    and its backward scatter-add then run as ONE wide row gather/scatter —
+    9 scalar gathers of (nt*K,) cost ~70 ms on TPU, one (nt*K, 16) row
+    gather ~8 ms.
     """
-    color, tfin, _ = _fwd(mx, my, ca, cb, cc, r, g, b, op, valid, tiles_x)
+    color, tfin, _ = _fwd(att, tiles_x)
     return color, tfin
 
 
-def _fwd(mx, my, ca, cb, cc, r, g, b, op, valid, tiles_x):
-    nt, k = op.shape
+def _fwd(att, tiles_x):
+    nt, na, k = att.shape
     n_chunks = k // CH
-    att, per_tile2, per_tile3 = _specs(n_chunks)
+    att_map, per_tile2, per_tile3 = _specs(n_chunks)
     v = pltpu.VMEM
     color, tfin, ncontrib = pl.pallas_call(
         functools.partial(_fwd_kernel, tiles_x=tiles_x),
         grid=(nt // TB, n_chunks),
-        in_specs=[pl.BlockSpec((TB, CH), att, memory_space=v)] * 10,
+        in_specs=[pl.BlockSpec((TB, NA, CH), att_map, memory_space=v)],
         out_specs=(
             pl.BlockSpec((TB, 3, P), per_tile3, memory_space=v),
             pl.BlockSpec((TB, P), per_tile2, memory_space=v),
@@ -329,58 +403,61 @@ def _fwd(mx, my, ca, cb, cc, r, g, b, op, valid, tiles_x):
             pltpu.VMEM((TB, P), jnp.float32),
             pltpu.VMEM((TB, P), jnp.float32),
             pltpu.VMEM((TB, P), jnp.float32),
+            pltpu.VMEM((TB, P, CH), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
         ),
         interpret=INTERPRET,
-    )(mx, my, ca, cb, cc, r, g, b, op, valid)
+    )(att)
     return color, tfin, ncontrib
 
 
-def _composite_fwd(mx, my, ca, cb, cc, r, g, b, op, valid, tiles_x):
-    color, tfin, ncontrib = _fwd(mx, my, ca, cb, cc, r, g, b, op, valid, tiles_x)
-    res = (mx, my, ca, cb, cc, r, g, b, op, valid, tfin, ncontrib)
-    return (color, tfin), res
+def _composite_fwd(att, tiles_x):
+    color, tfin, ncontrib = _fwd(att, tiles_x)
+    return (color, tfin), (att, tfin, ncontrib)
 
 
 def _composite_bwd(tiles_x, res, cot):
-    mx, my, ca, cb, cc, r, g, b, op, valid, tfin, ncontrib = res
+    att, tfin, ncontrib = res
     gcolor, gtfin = cot
-    nt, k = op.shape
+    nt, na, k = att.shape
     n_chunks = k // CH
-    att, per_tile2, per_tile3 = _specs(n_chunks, reverse=True)
     v = pltpu.VMEM
-    outs = pl.pallas_call(
+
+    def att_map(i, c, p):
+        return (i, 0, n_chunks - 1 - c)
+
+    def pix2(i, c, p):
+        return (i, p)
+
+    def pix3(i, c, p):
+        return (i, 0, p)
+
+    datt = pl.pallas_call(
         functools.partial(_bwd_kernel, tiles_x=tiles_x),
-        grid=(nt // TB, n_chunks),
-        in_specs=[pl.BlockSpec((TB, CH), att, memory_space=v)] * 10
-        + [
-            pl.BlockSpec((TB, 3, P), per_tile3, memory_space=v),
-            pl.BlockSpec((TB, P), per_tile2, memory_space=v),
-            pl.BlockSpec((TB, P), per_tile2, memory_space=v),
-            pl.BlockSpec((TB, P), per_tile2, memory_space=v),
+        grid=(nt // TB, n_chunks, P // PP),
+        in_specs=[
+            pl.BlockSpec((TB, NA, CH), att_map, memory_space=v),
+            pl.BlockSpec((TB, 3, PP), pix3, memory_space=v),
+            pl.BlockSpec((TB, PP), pix2, memory_space=v),
+            pl.BlockSpec((TB, PP), pix2, memory_space=v),
+            pl.BlockSpec((TB, PP), pix2, memory_space=v),
         ],
-        out_specs=tuple(
-            [pl.BlockSpec((TB, CH), att, memory_space=v)] * 9
-        ),
-        out_shape=tuple(
-            [jax.ShapeDtypeStruct((nt, k), jnp.float32)] * 9
-        ),
+        out_specs=pl.BlockSpec((TB, NA, CH), att_map, memory_space=v),
+        out_shape=jax.ShapeDtypeStruct((nt, NA, k), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((TB, P), jnp.float32),
             pltpu.VMEM((TB, P), jnp.float32),
+            pltpu.VMEM((TB, PP, CH), jnp.float32),
+            pltpu.VMEM((TB, PP, CH), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary"),
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
         ),
         interpret=INTERPRET,
-    )(
-        mx, my, ca, cb, cc, r, g, b, op, valid,
-        gcolor, gtfin, tfin, ncontrib,
-    )
-    dmx, dmy, dca, dcb, dcc, dcr, dcg, dcbl, dop = outs
-    return (dmx, dmy, dca, dcb, dcc, dcr, dcg, dcbl, dop, None)
+    )(att, gcolor, gtfin, tfin, ncontrib)
+    return (datt,)
 
 
 composite_tiles.defvjp(_composite_fwd, _composite_bwd)

@@ -216,16 +216,25 @@ def composite_fused(
     valid = (ids >= 0).astype(jnp.float32)
     idc = jnp.maximum(ids, 0)
 
+    # ONE packed (N, NA) attribute matrix -> ONE wide row gather (+ its
+    # transpose, one wide scatter-add). Scalar gathers here cost ~9x more.
     m = prep["means2d"]
     c = prep["conics"]
     rgb = prep["rgb"]
-    color, tfin = pc.composite_tiles(
-        m[idc, 0], m[idc, 1],
-        c[idc, 0], c[idc, 1], c[idc, 2],
-        rgb[idc, 0], rgb[idc, 1], rgb[idc, 2],
-        prep["opacity"][idc] * valid, valid,
-        tiles_x,
-    )
+    n = m.shape[0]
+    pack = jnp.concatenate(
+        [
+            m, c, rgb,
+            prep["opacity"][:, None],
+            jnp.ones((n, 1), jnp.float32),          # valid slot (overwritten)
+            jnp.zeros((n, pc.NA - 10), jnp.float32),
+        ],
+        axis=1,
+    )                                               # (N, NA)
+    att = pack[idc.reshape(-1)].reshape(nt_pad, k_pad, pc.NA)
+    att = att * valid[..., None]                    # pads: opacity/valid -> 0
+    att = jnp.transpose(att, (0, 2, 1))             # (nt, NA, K)
+    color, tfin = pc.composite_tiles(att, tiles_x)
 
     def untile(x, ch):
         x = x.reshape(nt_pad, ch, TILE, TILE)[:num_tiles]
