@@ -33,9 +33,15 @@ import jax.numpy as jnp
 
 
 class TileBins(NamedTuple):
-    tile_gauss: jnp.ndarray   # (num_tiles, max_per_tile) int32 gauss ids; -1 pad
+    tile_gauss: jnp.ndarray   # (num_tiles, max_per_tile) int32 ids in DEPTH-
+                              # SORTED space (see ``order``); -1 pad
     tile_count: jnp.ndarray   # (num_tiles,) int32 live entries per tile
     n_pairs: jnp.ndarray      # () int32 total intersections (pre-cap)
+    order: jnp.ndarray        # (N,) int32: sorted-space id -> original id.
+                              # Consumers gather per-Gaussian attributes once
+                              # through ``order`` (one wide N-gather) instead
+                              # of translating the (tiles x slots) matrix (a
+                              # ~1M scalar gather, ~10 ms on TPU).
 
 
 def _ceil_log2(x: int) -> int:
@@ -101,22 +107,22 @@ def bin_gaussians(
     ends = jnp.searchsorted(s_tile, tile_range, side="right").astype(jnp.int32)
     tile_count = jnp.minimum(ends - starts, max_per_tile)
 
-    # --- scatter within-tile slots into the fixed gather matrix ---
-    slot = pair_idx - starts[jnp.clip(s_tile, 0, num_tiles - 1)]
+    # --- within-tile slot = pair index - segment start; the segment start
+    # per PAIR comes from a boundary scatter + cummax (a starts[s_tile]
+    # gather over max_pairs scalars costs ~30 ms on TPU) ---
+    is_boundary = jnp.concatenate(
+        [jnp.ones((1,), bool), s_tile[1:] != s_tile[:-1]]
+    )
+    seg_start = jax.lax.cummax(jnp.where(is_boundary, pair_idx, 0))
+    slot = pair_idx - seg_start
     ok = (s_tile < num_tiles) & (slot < max_per_tile)
     flat_target = jnp.where(
         ok, s_tile * max_per_tile + slot, num_tiles * max_per_tile
     )
-    tile_gauss_sorted = (
+    tile_gauss = (
         jnp.full((num_tiles * max_per_tile,), -1, jnp.int32)
         .at[flat_target]
         .set(s_gid, mode="drop")
         .reshape(num_tiles, max_per_tile)
     )
-    # translate depth-sorted ids back to original Gaussian ids
-    tile_gauss = jnp.where(
-        tile_gauss_sorted >= 0,
-        order[jnp.maximum(tile_gauss_sorted, 0)],
-        -1,
-    )
-    return TileBins(tile_gauss, tile_count, total.astype(jnp.int32))
+    return TileBins(tile_gauss, tile_count, total.astype(jnp.int32), order)
