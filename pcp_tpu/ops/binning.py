@@ -7,17 +7,19 @@ InclusiveSum over tiles_touched -> duplicateWithKeys -> DeviceRadixSort on
 shaped by TPU microbenchmarks (each pitfall below cost 100-400 ms/step at
 2M pairs before being designed out):
 
-1. Gaussians are pre-sorted by depth, so the depth-rank IS the sorted index:
-   the pair key packs [tile | sorted-gaussian-id] into ONE int32 — exact
-   [tile | depth] lexicographic order without 64-bit keys (TPUs have none)
-   and without a second sort key (2x cost) or a rank gather.
+1. The pair key packs [tile | top depth-float bits] into ONE uint32 — the
+   float bit pattern is monotonic for positive depths, so this is the CUDA
+   radix-sort-the-raw-bits trick (rasterizer_impl.cu:90) squeezed to
+   32 - log2(tiles) depth bits (TPUs have no 64-bit sort). Ties within the
+   truncated mantissa order arbitrarily, exactly like CUDA ties on equal
+   floats. No N-argsort, no rank table, no id translation.
 2. Pair expansion maps slot -> owning Gaussian with a scatter of span starts
    + one associative cummax (a searchsorted here serializes into ~17 gather
    rounds over max_pairs queries: ~0.5 s).
 3. Per-pair tile coordinates avoid variable integer div/mod (no hardware
    int division) via float reciprocal with a +0.5 numerator guard — exact
    for the < 2^20 operand ranges involved.
-4. All per-Gaussian lookups ride ONE packed (max_pairs, 4) gather.
+4. All per-Gaussian lookups ride ONE packed (max_pairs, 5) gather.
 
 Overflow policy: pairs beyond ``max_pairs`` are dropped from the tail of the
 expansion; per-tile lists keep the *nearest* ``max_per_tile`` Gaussians.
@@ -33,15 +35,9 @@ import jax.numpy as jnp
 
 
 class TileBins(NamedTuple):
-    tile_gauss: jnp.ndarray   # (num_tiles, max_per_tile) int32 ids in DEPTH-
-                              # SORTED space (see ``order``); -1 pad
+    tile_gauss: jnp.ndarray   # (num_tiles, max_per_tile) int32 gauss ids; -1 pad
     tile_count: jnp.ndarray   # (num_tiles,) int32 live entries per tile
     n_pairs: jnp.ndarray      # () int32 total intersections (pre-cap)
-    order: jnp.ndarray        # (N,) int32: sorted-space id -> original id.
-                              # Consumers gather per-Gaussian attributes once
-                              # through ``order`` (one wide N-gather) instead
-                              # of translating the (tiles x slots) matrix (a
-                              # ~1M scalar gather, ~10 ms on TPU).
 
 
 def _ceil_log2(x: int) -> int:
@@ -58,21 +54,24 @@ def bin_gaussians(
 ) -> TileBins:
     n = rect.shape[0]
     num_tiles = tiles_x * tiles_y
-    rank_bits = _ceil_log2(n)
     tile_bits = _ceil_log2(num_tiles + 1)
-    assert rank_bits + tile_bits <= 31, (
-        f"packed key needs {rank_bits}+{tile_bits} bits; shard the Gaussian "
-        "axis or reduce tiles"
-    )
+    depth_bits = 32 - tile_bits
+    assert tile_bits <= 16, f"{num_tiles} tiles won't fit the packed key"
 
-    # --- depth order: sorted index == depth rank (one small N-sort) ---
-    order = jnp.argsort(depths).astype(jnp.int32)
-    rect_s = rect[order]
-    wx = rect_s[:, 2] - rect_s[:, 0]
-    wy = rect_s[:, 3] - rect_s[:, 1]
+    wx = rect[:, 2] - rect[:, 0]
+    wy = rect[:, 3] - rect[:, 1]
     counts = (wx * wy).astype(jnp.int32)
     offsets = jnp.cumsum(counts) - counts
     total = offsets[-1] + counts[-1] if n > 0 else jnp.int32(0)
+
+    # Depth key = top bits of the float32 pattern (monotonic for positive
+    # floats — exactly the CUDA trick of radix-sorting raw depth bits,
+    # rasterizer_impl.cu:90; valid pairs all have depth > NEAR_PLANE > 0).
+    # No N-argsort, no rank table, no post-sort id translation.
+    dq = (
+        jax.lax.bitcast_convert_type(depths.astype(jnp.float32), jnp.uint32)
+        >> jnp.uint32(32 - depth_bits)
+    )
 
     # --- pair slot -> owning (depth-sorted) Gaussian: scatter + cummax ---
     pair_idx = jnp.arange(max_pairs, dtype=jnp.int32)
@@ -84,22 +83,26 @@ def bin_gaussians(
     )
     gid = jax.lax.cummax(seed)
 
-    # --- one packed per-pair gather: [x0, y0, wx, offset] ---
-    pack = jnp.stack([rect_s[:, 0], rect_s[:, 1], wx, offsets], axis=1)
-    g = pack[gid]                                          # (max_pairs, 4)
+    # --- one packed per-pair gather: [x0, y0, wx, offset, depth-bits] ---
+    pack = jnp.stack(
+        [rect[:, 0], rect[:, 1], wx, offsets, dq.astype(jnp.int32)], axis=1
+    )
+    g = pack[gid]                                          # (max_pairs, 5)
     local = pair_idx - g[:, 3]
     valid = pair_idx < total
     # variable int div via exact float reciprocal (+0.5 guards the floor)
     gwf = jnp.maximum(g[:, 2], 1).astype(jnp.float32)
     tyl = jnp.floor((local.astype(jnp.float32) + 0.5) / gwf).astype(jnp.int32)
     txl = local - tyl * g[:, 2]
-    tile_id = ((g[:, 1] + tyl) * tiles_x + g[:, 0] + txl).astype(jnp.int32)
-    tile_id = jnp.where(valid, tile_id, num_tiles)
+    tile_id = ((g[:, 1] + tyl) * tiles_x + g[:, 0] + txl).astype(jnp.uint32)
+    tile_id = jnp.where(valid, tile_id, jnp.uint32(num_tiles))
 
-    # --- packed single-key sort: [tile | depth-rank] in one int32 ---
-    key = (tile_id << rank_bits) | jnp.where(valid, gid, 0)
+    # --- packed single-key uint32 sort: [tile | depth-bits] ---
+    key = (tile_id << jnp.uint32(depth_bits)) | jnp.where(
+        valid, g[:, 4].astype(jnp.uint32), jnp.uint32(0)
+    )
     s_key, s_gid = jax.lax.sort((key, gid), num_keys=1, is_stable=False)
-    s_tile = s_key >> rank_bits
+    s_tile = (s_key >> jnp.uint32(depth_bits)).astype(jnp.int32)
 
     # --- per-tile ranges (identifyTileRanges, rasterizer_impl.cu:116-138) ---
     tile_range = jnp.arange(num_tiles, dtype=jnp.int32)
@@ -125,4 +128,4 @@ def bin_gaussians(
         .set(s_gid, mode="drop")
         .reshape(num_tiles, max_per_tile)
     )
-    return TileBins(tile_gauss, tile_count, total.astype(jnp.int32), order)
+    return TileBins(tile_gauss, tile_count, total.astype(jnp.int32))

@@ -136,11 +136,10 @@ def composite(
     ).astype(jnp.float32)                                   # (nt_pad, P, 2)
     pix = pix.reshape(nt_pad // tile_batch, tile_batch, p, 2)
 
-    # tile_gauss ids live in depth-sorted space: permute attributes once
-    means2d = prep["means2d"][bins.order]
-    conics = prep["conics"][bins.order]
-    rgb = prep["rgb"][bins.order]
-    opac = prep["opacity"][bins.order]
+    means2d = prep["means2d"]
+    conics = prep["conics"]
+    rgb = prep["rgb"]
+    opac = prep["opacity"]
 
     body = jax.checkpoint(functools.partial(_chunk_body, n_pix=p))
 
@@ -231,7 +230,7 @@ def composite_fused(
             jnp.zeros((n, pc.NA - 10), jnp.float32),
         ],
         axis=1,
-    )[bins.order]                                   # (N, NA), sorted space
+    )                                               # (N, NA)
     att = pack[idc.reshape(-1)].reshape(nt_pad, k_pad, pc.NA)
     att = att * valid[..., None]                    # pads: opacity/valid -> 0
     att = jnp.transpose(att, (0, 2, 1))             # (nt, NA, K)

@@ -214,10 +214,18 @@ def train_scene(
             ema_loss = loss if it == 1 else 0.6 * ema_loss + 0.4 * loss
             now = time.time()
             n_alive = int(np.asarray(state.alive).sum())
+            if bool(metrics["overflow"]) and log_fn:
+                log_fn(
+                    f"[warn] iter {it}: tile-pair capacity overflow "
+                    f"({int(metrics['n_pairs'])} intersections > "
+                    f"pairs_per_gaussian * capacity); distant Gaussians are "
+                    f"being dropped — raise --pairs_per_gaussian"
+                )
             logger.scalars(it, {
                 "train_loss_patches/total_loss": loss,
                 "total_points": n_alive,
                 "iter_time": (now - t_last) / max(it - it_last, 1),
+                "n_pairs": float(metrics["n_pairs"]),
             })
             t_last, it_last = now, it
             if log_fn:
