@@ -79,6 +79,26 @@ def main() -> None:
     dt = time.perf_counter() - t0
 
     iters_per_sec = ITERS / dt
+
+    # Optional per-stage breakdown (preprocess/binning/fwd/fwd+bwd — the
+    # knobs that steer optimization): set PCP_BENCH_BREAKDOWN=1. Kept off by
+    # default so the driver-run bench stays fast; tools/profile_stages.py is
+    # the standalone equivalent.
+    import os
+    if os.environ.get("PCP_BENCH_BREAKDOWN"):
+        import subprocess
+        import sys
+
+        out = subprocess.run(
+            [sys.executable,
+             os.path.join(os.path.dirname(__file__), "tools",
+                          "profile_stages.py")],
+            capture_output=True, text=True, timeout=900,
+        )
+        for ln in out.stdout.splitlines():
+            if ln.startswith("{"):
+                print(json.dumps({"breakdown": json.loads(ln)}))
+
     print(json.dumps({
         "metric": "train_iters_per_sec_100k_gauss_800x600",
         "value": round(iters_per_sec, 3),

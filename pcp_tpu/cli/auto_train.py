@@ -52,6 +52,11 @@ def main(argv=None) -> None:
                         "resident; host sends only camera indices per step")
     p.add_argument("--retry_failed", action="store_true",
                    help="only (re)train blocks not marked done in the manifest")
+    p.add_argument("--distributed", action="store_true",
+                   help="multi-host: run jax.distributed.initialize "
+                        "(COORDINATOR_ADDRESS/NUM_PROCESSES/PROCESS_ID env "
+                        "vars or defaults), build the mesh over every host's "
+                        "devices, and train only this host's block slice")
     add_model_args(p)
     add_optim_args(p)
     add_pipeline_args(p)
@@ -61,6 +66,21 @@ def main(argv=None) -> None:
     blocks = find_blocks(args.base_path)
     if not blocks:
         raise SystemExit(f"no partition_* blocks under {args.base_path}")
+
+    if args.distributed:
+        from pcp_tpu.parallel.distributed import initialize, local_block_slice
+
+        if initialize():
+            import jax
+
+            sl = local_block_slice(len(blocks))
+            print(
+                f"distributed: process {jax.process_index()}/"
+                f"{jax.process_count()} owns blocks [{sl.start}:{sl.stop})"
+            )
+            blocks = blocks[sl]
+        else:
+            print("distributed: no COORDINATOR_ADDRESS set; single host")
 
     manifest_path = os.path.join(args.base_path, "train_status.json")
     manifest = {}

@@ -19,7 +19,16 @@ def main(argv=None) -> None:
     p.add_argument("--lpips_weights", default=None)
     args = p.parse_args(argv)
 
+    from pcp_tpu.eval.lpips import make_lpips
     from pcp_tpu.eval.metrics import evaluate_dir
+
+    if make_lpips(args.lpips_weights) is None:
+        print(
+            "[metrics] LPIPS weights not found (pass --lpips_weights or set "
+            "PCP_LPIPS_WEIGHTS; produce the npz once with "
+            "pcp_tpu.eval.lpips.convert_torch_weights on a machine with "
+            "torchvision) — LPIPS will be reported as null"
+        )
 
     for model in args.model_paths:
         split_dir = os.path.join(model, args.split)

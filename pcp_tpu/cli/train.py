@@ -35,9 +35,13 @@ def main(argv=None) -> None:
     p.add_argument("--disable_viewer", action="store_true")
     p.add_argument("--profile", action="store_true",
                    help="write a jax.profiler trace under the model dir")
+    p.add_argument("--debug", action="store_true",
+                   help="check loss finiteness every step; on first NaN dump "
+                        "step inputs to nan_snapshot_<it>.npz and abort "
+                        "(reference --detect_anomaly + snapshot dumps)")
     args = p.parse_args(argv)
 
-    from pcp_tpu.scene import load_colmap_scene
+    from pcp_tpu.scene import load_scene
     from pcp_tpu.train.loop import train_scene
     from pcp_tpu.utils.general import safe_state
 
@@ -49,8 +53,10 @@ def main(argv=None) -> None:
     cfg.seed = args.seed
 
     safe_state(args.seed)
-    scene = load_colmap_scene(
+    scene = load_scene(
         cfg.model.source_path, images_dir=cfg.model.images,
+        white_background=cfg.model.white_background,
+        eval_split=cfg.model.eval,
         man_trans=man_trans_from_config(cfg.model),
     )
     print(f"training {cfg.model.source_path}: {len(scene.cameras)} cameras, "
@@ -85,7 +91,7 @@ def main(argv=None) -> None:
         scene, cfg,
         log_fn=None if args.quiet else print,
         state=state, start_iter=start_iter,
-        viewer=viewer, profile=args.profile,
+        viewer=viewer, profile=args.profile, debug=args.debug,
     )
     if viewer is not None:
         viewer.close()

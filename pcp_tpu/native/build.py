@@ -1,8 +1,14 @@
-"""Lazy g++ build + ctypes loader for the native codecs."""
+"""Lazy g++ build + ctypes loader for the native codecs.
+
+The built .so is keyed on a content hash of the source (not mtimes, which
+git does not preserve): a fresh clone always compiles from the checked-in
+source rather than trusting any stale binary.
+"""
 
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
 import subprocess
 import threading
@@ -20,7 +26,9 @@ def _so_path() -> str:
         "PCP_NATIVE_CACHE", os.path.join(os.path.dirname(__file__), "_build")
     )
     os.makedirs(cache, exist_ok=True)
-    return os.path.join(cache, "libcolmap_codec.so")
+    with open(_SRC, "rb") as f:
+        digest = hashlib.sha256(f.read()).hexdigest()[:16]
+    return os.path.join(cache, f"libcolmap_codec-{digest}.so")
 
 
 def load_library() -> Optional[ctypes.CDLL]:
@@ -32,9 +40,7 @@ def load_library() -> Optional[ctypes.CDLL]:
         _TRIED = True
         so = _so_path()
         try:
-            if not os.path.exists(so) or (
-                os.path.getmtime(so) < os.path.getmtime(_SRC)
-            ):
+            if not os.path.exists(so):
                 subprocess.run(
                     ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
                      _SRC, "-o", so],

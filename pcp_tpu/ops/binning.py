@@ -21,9 +21,10 @@ shaped by TPU microbenchmarks (each pitfall below cost 100-400 ms/step at
    for the < 2^20 operand ranges involved.
 4. All per-Gaussian lookups ride ONE packed (max_pairs, 5) gather.
 
-Overflow policy: pairs beyond ``max_pairs`` are dropped from the tail of the
-expansion; per-tile lists keep the *nearest* ``max_per_tile`` Gaussians.
-Callers detect overflow via ``n_pairs``.
+Overflow policy: Gaussians are expanded in NEAR-TO-FAR depth order, so pairs
+beyond ``max_pairs`` drop the *farthest* Gaussians (not arbitrary indices);
+per-tile lists likewise keep the nearest ``max_per_tile``. Callers detect
+total overflow via ``n_pairs`` and per-tile saturation via ``max_tile_load``.
 """
 
 from __future__ import annotations
@@ -38,6 +39,7 @@ class TileBins(NamedTuple):
     tile_gauss: jnp.ndarray   # (num_tiles, max_per_tile) int32 gauss ids; -1 pad
     tile_count: jnp.ndarray   # (num_tiles,) int32 live entries per tile
     n_pairs: jnp.ndarray      # () int32 total intersections (pre-cap)
+    max_tile_load: jnp.ndarray  # () int32 max pre-clamp per-tile occupancy
 
 
 def _ceil_log2(x: int) -> int:
@@ -61,21 +63,29 @@ def bin_gaussians(
     wx = rect[:, 2] - rect[:, 0]
     wy = rect[:, 3] - rect[:, 1]
     counts = (wx * wy).astype(jnp.int32)
-    offsets = jnp.cumsum(counts) - counts
-    total = offsets[-1] + counts[-1] if n > 0 else jnp.int32(0)
 
     # Depth key = top bits of the float32 pattern (monotonic for positive
     # floats — exactly the CUDA trick of radix-sorting raw depth bits,
     # rasterizer_impl.cu:90; valid pairs all have depth > NEAR_PLANE > 0).
-    # No N-argsort, no rank table, no post-sort id translation.
+    # No rank table, no post-sort id translation.
     dq = (
         jax.lax.bitcast_convert_type(depths.astype(jnp.float32), jnp.uint32)
         >> jnp.uint32(32 - depth_bits)
     )
 
-    # --- pair slot -> owning (depth-sorted) Gaussian: scatter + cummax ---
+    # Expand pairs in NEAR-TO-FAR Gaussian order so a max_pairs overflow
+    # drops the farthest Gaussians, not arbitrary indices. One N-argsort
+    # over the capacity axis (cheap next to the max_pairs key sort below).
+    perm = jnp.argsort(
+        jnp.where(counts > 0, dq, jnp.uint32(0xFFFFFFFF))
+    ).astype(jnp.int32)
+    counts_p = counts[perm]
+    offsets_p = jnp.cumsum(counts_p) - counts_p
+    total = offsets_p[-1] + counts_p[-1] if n > 0 else jnp.int32(0)
+
+    # --- pair slot -> owning (depth-ordered) Gaussian: scatter + cummax ---
     pair_idx = jnp.arange(max_pairs, dtype=jnp.int32)
-    span_start = jnp.where(counts > 0, offsets, max_pairs)
+    span_start = jnp.where(counts_p > 0, offsets_p, max_pairs)
     seed = (
         jnp.zeros((max_pairs,), jnp.int32)
         .at[span_start]
@@ -83,11 +93,14 @@ def bin_gaussians(
     )
     gid = jax.lax.cummax(seed)
 
-    # --- one packed per-pair gather: [x0, y0, wx, offset, depth-bits] ---
+    # --- one packed per-pair gather (rows in depth order):
+    # [x0, y0, wx, offset, depth-bits, original-gaussian-id] ---
+    rect_p = rect[perm]
     pack = jnp.stack(
-        [rect[:, 0], rect[:, 1], wx, offsets, dq.astype(jnp.int32)], axis=1
+        [rect_p[:, 0], rect_p[:, 1], wx[perm], offsets_p,
+         dq[perm].astype(jnp.int32), perm], axis=1,
     )
-    g = pack[gid]                                          # (max_pairs, 5)
+    g = pack[gid]                                          # (max_pairs, 6)
     local = pair_idx - g[:, 3]
     valid = pair_idx < total
     # variable int div via exact float reciprocal (+0.5 guards the floor)
@@ -97,18 +110,21 @@ def bin_gaussians(
     tile_id = ((g[:, 1] + tyl) * tiles_x + g[:, 0] + txl).astype(jnp.uint32)
     tile_id = jnp.where(valid, tile_id, jnp.uint32(num_tiles))
 
-    # --- packed single-key uint32 sort: [tile | depth-bits] ---
+    # --- packed single-key uint32 sort: [tile | depth-bits]; the payload
+    # carries the ORIGINAL Gaussian id so downstream gathers are unchanged ---
     key = (tile_id << jnp.uint32(depth_bits)) | jnp.where(
         valid, g[:, 4].astype(jnp.uint32), jnp.uint32(0)
     )
-    s_key, s_gid = jax.lax.sort((key, gid), num_keys=1, is_stable=False)
+    s_key, s_gid = jax.lax.sort((key, g[:, 5]), num_keys=1, is_stable=False)
     s_tile = (s_key >> jnp.uint32(depth_bits)).astype(jnp.int32)
 
     # --- per-tile ranges (identifyTileRanges, rasterizer_impl.cu:116-138) ---
     tile_range = jnp.arange(num_tiles, dtype=jnp.int32)
     starts = jnp.searchsorted(s_tile, tile_range, side="left").astype(jnp.int32)
     ends = jnp.searchsorted(s_tile, tile_range, side="right").astype(jnp.int32)
-    tile_count = jnp.minimum(ends - starts, max_per_tile)
+    load = ends - starts
+    max_tile_load = load.max() if num_tiles > 0 else jnp.int32(0)
+    tile_count = jnp.minimum(load, max_per_tile)
 
     # --- within-tile slot = pair index - segment start; the segment start
     # per PAIR comes from a boundary scatter + cummax (a starts[s_tile]
@@ -128,4 +144,7 @@ def bin_gaussians(
         .set(s_gid, mode="drop")
         .reshape(num_tiles, max_per_tile)
     )
-    return TileBins(tile_gauss, tile_count, total.astype(jnp.int32))
+    return TileBins(
+        tile_gauss, tile_count, total.astype(jnp.int32),
+        max_tile_load.astype(jnp.int32),
+    )

@@ -304,5 +304,6 @@ def rasterize(
         "final_t": final_t,
         "n_pairs": bins.n_pairs,
         "tile_count": bins.tile_count,
+        "max_tile_load": bins.max_tile_load,
     }
     return image, aux

@@ -108,36 +108,37 @@ def make_fleet_step(
     )
 
     def per_block(state, viewmat, intrin, gt, view_idx, background, extent,
-                  sh_degree):
+                  valid_wh, sh_degree):
         return impl(
             state, viewmat, intrin, gt, view_idx, background, extent,
-            sh_degree=sh_degree,
+            sh_degree=sh_degree, valid_wh=valid_wh,
         )
 
     def local_shard(fleet_state, extents, viewmats, intrins, gts, view_idx,
-                    background, sh_degree):
+                    valid_whs, background, sh_degree):
         return jax.vmap(
-            lambda s, e, vm, it, g, vi: per_block(
-                s, vm, it, g, vi, background, e, sh_degree
+            lambda s, e, vm, it, g, vi, wh: per_block(
+                s, vm, it, g, vi, background, e, wh, sh_degree
             )
-        )(fleet_state, extents, viewmats, intrins, gts, view_idx)
+        )(fleet_state, extents, viewmats, intrins, gts, view_idx, valid_whs)
 
     spec_b = P("blocks")
     spec_r = P()
 
     @functools.partial(jax.jit, static_argnames=("sh_degree",), donate_argnums=(0,))
     def fleet_step(fleet: FleetState, viewmats, intrins, gts, view_idx,
-                   background, sh_degree: int):
+                   valid_whs, background, sh_degree: int):
         f = shard_map(
             functools.partial(local_shard, sh_degree=sh_degree),
             mesh=mesh,
-            in_specs=(spec_b, spec_b, spec_b, spec_b, spec_b, spec_b, spec_r),
+            in_specs=(spec_b, spec_b, spec_b, spec_b, spec_b, spec_b, spec_b,
+                      spec_r),
             out_specs=(spec_b, spec_b),
             check_vma=False,
         )
         new_state, metrics = f(
             fleet.state, fleet.extents, viewmats, intrins, gts, view_idx,
-            background,
+            valid_whs, background,
         )
         return FleetState(new_state, fleet.extents, fleet.valid), metrics
 
@@ -201,15 +202,19 @@ class CameraBank(NamedTuple):
     cx: jnp.ndarray
     cy: jnp.ndarray
     uid: jnp.ndarray         # (B, C) int32 appearance embedding ids
-    gts: jnp.ndarray         # (B, C, H, W, 3)
+    gts: jnp.ndarray         # (B, C, H, W, 3) — zero-padded to the max size
+    wh: jnp.ndarray          # (B, C, 2) int32 native (w, h) per camera
     n_cams: jnp.ndarray      # (B,) int32 live cameras (rest are repeats)
 
 
 def build_camera_bank(block_cams, mesh: Mesh) -> CameraBank:
-    """Stack per-block camera lists (padded by cycling) and shard them."""
+    """Stack per-block camera lists (padded by cycling) and shard them.
+    Mixed resolutions are zero-padded into the max (H, W) frame; the step
+    masks losses to each camera's native size (pad-and-mask)."""
     b = len(block_cams)
     c_max = max(len(cams) for cams in block_cams)
-    w, h = block_cams[0][0].width, block_cams[0][0].height
+    w = max(c.width for cams in block_cams for c in cams)
+    h = max(c.height for cams in block_cams for c in cams)
     viewmats = np.zeros((b, c_max, 4, 4), np.float32)
     fx = np.zeros((b, c_max), np.float32)
     fy = np.zeros((b, c_max), np.float32)
@@ -217,6 +222,7 @@ def build_camera_bank(block_cams, mesh: Mesh) -> CameraBank:
     cy = np.zeros((b, c_max), np.float32)
     uid = np.zeros((b, c_max), np.int32)
     gts = np.zeros((b, c_max, h, w, 3), np.float32)
+    wh = np.zeros((b, c_max, 2), np.int32)
     n_cams = np.zeros((b,), np.int32)
     for bi, cams in enumerate(block_cams):
         n_cams[bi] = len(cams)
@@ -228,12 +234,13 @@ def build_camera_bank(block_cams, mesh: Mesh) -> CameraBank:
             cx[bi, ci] = cam.width / 2.0
             cy[bi, ci] = cam.height / 2.0
             uid[bi, ci] = cam.uid
-            gts[bi, ci] = cam.gt_image
+            gts[bi, ci, : cam.height, : cam.width] = cam.gt_image
+            wh[bi, ci] = (cam.width, cam.height)
     sharding = NamedSharding(mesh, P("blocks"))
     put = lambda x: jax.device_put(jnp.asarray(x), sharding)
     return CameraBank(
         put(viewmats), put(fx), put(fy), put(cx), put(cy), put(uid),
-        put(gts), put(n_cams),
+        put(gts), put(wh), put(n_cams),
     )
 
 
@@ -260,7 +267,7 @@ def make_fleet_step_banked(
             intrin = CameraIntrin(bk.fx[ci], bk.fy[ci], bk.cx[ci], bk.cy[ci])
             return impl(
                 s, bk.viewmats[ci], intrin, bk.gts[ci], bk.uid[ci],
-                background, e, sh_degree=sh_degree,
+                background, e, sh_degree=sh_degree, valid_wh=bk.wh[ci],
             )
 
         return jax.vmap(
@@ -316,15 +323,18 @@ def train_blocks_parallel(
     ocfg = cfg.optim
     iterations = iterations or ocfg.iterations
 
-    # Per-block camera lists at a uniform resolution.
+    # Per-block camera lists; mixed resolutions pad into the max (w, h)
+    # frame and the step masks losses to each camera's native size.
     block_cams = []
     for scene in block_scenes:
         cams = [cam_mod.from_info(i, cfg.model.resolution) for i in scene.cameras]
         block_cams.append(cams)
     sizes = {(c.width, c.height) for cams in block_cams for c in cams}
-    if len(sizes) != 1:
-        raise NotImplementedError(f"fleet requires one image size, got {sizes}")
-    w, h = next(iter(sizes))
+    w = max(s[0] for s in sizes)
+    h = max(s[1] for s in sizes)
+    if len(sizes) > 1 and log_fn:
+        log_fn(f"fleet: {len(sizes)} camera resolutions; padding to "
+               f"{w}x{h} with per-camera loss masks")
 
     key = jax.random.PRNGKey(seed)
     states, extents = [], []
@@ -386,10 +396,17 @@ def train_blocks_parallel(
                 cx=jnp.asarray([c.width / 2.0 for c in chosen], jnp.float32),
                 cy=jnp.asarray([c.height / 2.0 for c in chosen], jnp.float32),
             )
-            gts = jnp.asarray(np.stack([c.gt_image for c in chosen]))
+            gts_np = np.zeros((b_pad, h, w, 3), np.float32)
+            for bi, c in enumerate(chosen):
+                gts_np[bi, : c.height, : c.width] = c.gt_image
+            gts = jnp.asarray(gts_np)
+            valid_whs = jnp.asarray(
+                [(c.width, c.height) for c in chosen], jnp.int32
+            )
             view_idx = jnp.asarray([c.uid for c in chosen], jnp.int32)
             fleet, metrics = step_fn(
-                fleet, viewmats, intrins, gts, view_idx, background, sh_degree
+                fleet, viewmats, intrins, gts, view_idx, valid_whs,
+                background, sh_degree,
             )
 
         if ocfg.densify_from_iter <= it <= ocfg.densify_until_iter:
@@ -397,12 +414,33 @@ def train_blocks_parallel(
                 key, k = jax.random.split(key)
                 keys = jax.random.split(k, b_pad)
                 fleet = densify_fn(fleet, keys, it > ocfg.opacity_reset_interval)
-            if it % ocfg.opacity_reset_interval == 0:
+            if it % ocfg.opacity_reset_interval == 0 or (
+                cfg.model.white_background and it == ocfg.densify_from_iter
+            ):
                 fleet = reset_fn(fleet)
 
         if log_fn and (it % 100 == 0 or it == 1):
             losses = np.asarray(metrics["loss"])[: len(block_scenes)]
             log_fn(f"fleet iter {it:6d} mean loss {losses.mean():.5f}")
+            overflow = np.asarray(metrics["overflow"])[: len(block_scenes)]
+            if overflow.any():
+                n_pairs = np.asarray(metrics["n_pairs"])[: len(block_scenes)]
+                bad = np.nonzero(overflow)[0].tolist()
+                log_fn(
+                    f"[warn] fleet iter {it}: tile-pair overflow in blocks "
+                    f"{bad} (max n_pairs {int(n_pairs.max())}); nearest "
+                    "Gaussians are kept but quality degrades — raise "
+                    "--pairs_per_gaussian"
+                )
+            saturated = np.asarray(metrics["tile_saturated"])[: len(block_scenes)]
+            if saturated.any():
+                loads = np.asarray(metrics["max_tile_load"])[: len(block_scenes)]
+                log_fn(
+                    f"[warn] fleet iter {it}: per-tile saturation in blocks "
+                    f"{np.nonzero(saturated)[0].tolist()} (densest tile "
+                    f"{int(loads.max())} > max_per_tile="
+                    f"{ocfg.max_per_tile}) — raise --max_per_tile"
+                )
 
     host_fleet = jax.device_get(fleet)
     return [unstack_state(host_fleet.state, i) for i in range(len(block_scenes))]

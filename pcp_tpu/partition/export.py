@@ -27,16 +27,23 @@ from pcp_tpu.scene.dataset import CameraInfo, SceneInfo
 from pcp_tpu.utils.graphics import rotmat_to_qvec
 
 
-def _images_dict(infos: Sequence[CameraInfo]) -> dict:
+def _images_dict(infos: Sequence[CameraInfo], true_camera_ids: bool) -> dict:
     """CameraInfo -> COLMAP Image records (rot->quat like
-    save_partition.py:109-121; empty 2D tracks)."""
+    save_partition.py:109-121; empty 2D tracks). With ``true_camera_ids``
+    each image keeps its original intrinsic id, so multi-rig/multi-lens
+    captures round-trip exactly."""
     out = {}
     for i, info in enumerate(infos, start=1):
+        cam_id = (
+            info.camera_id
+            if true_camera_ids and info.camera_id is not None
+            else 1
+        )
         out[i] = colmap.Image(
             i,
             rotmat_to_qvec(info.R),
             np.asarray(info.t, np.float64),
-            info_camera_id(info),
+            cam_id,
             info.image_name,
             xys=np.zeros((0, 2)),
             point3D_ids=np.zeros((0,), np.int64),
@@ -44,14 +51,14 @@ def _images_dict(infos: Sequence[CameraInfo]) -> dict:
     return out
 
 
-def info_camera_id(info: CameraInfo) -> int:
-    # One PINHOLE intrinsic per block (copy_cameras_to_partitions copies the
-    # global cameras.bin to every block, save_partition.py:150-168); we emit
-    # a per-block cameras.bin whose id 1 carries this view's intrinsics.
-    return 1
-
-
-def _cameras_dict(infos: Sequence[CameraInfo]) -> dict:
+def _cameras_dict(infos: Sequence[CameraInfo], intrinsics: dict = None) -> dict:
+    """The block's cameras.bin content. With a global intrinsics table we
+    copy it wholesale into every block — copy_cameras_to_partitions
+    (save_partition.py:150-168) — preserving every model/focal. Without one
+    (synthetic scenes), fall back to a single PINHOLE built from the first
+    view's FoVs."""
+    if intrinsics:
+        return dict(intrinsics)
     info = infos[0]
     fx, fy = info.focal()
     return {
@@ -78,12 +85,17 @@ def _write_colmap_dataset(
     xyz: np.ndarray,
     rgb01: np.ndarray,
     copy_images: bool = True,
+    intrinsics: dict = None,
 ) -> None:
     if not infos:
         return
     sparse = os.path.join(out_dir, "sparse", "0")
     pts = colmap.Points3D.from_arrays(xyz, (np.clip(rgb01, 0, 1) * 255).astype(np.uint8))
-    colmap.write_model(_cameras_dict(infos), _images_dict(infos), pts, sparse, ext=".bin")
+    colmap.write_model(
+        _cameras_dict(infos, intrinsics),
+        _images_dict(infos, true_camera_ids=bool(intrinsics)),
+        pts, sparse, ext=".bin",
+    )
     if copy_images:
         _copy_images(infos, os.path.join(out_dir, "images"))
 
@@ -103,7 +115,10 @@ def export_partition(
     infos = [scene.cameras[u] for u in record.camera_uids]
     xyz = scene.points[record.point_indices]
     rgb = scene.colors[record.point_indices]
-    _write_colmap_dataset(block_dir, infos, xyz, rgb, copy_images)
+    _write_colmap_dataset(
+        block_dir, infos, xyz, rgb, copy_images,
+        intrinsics=getattr(scene, "intrinsics", None),
+    )
 
     with open(os.path.join(block_root, f"partition_{pid}.pkl"), "wb") as f:
         pickle.dump(record, f)
@@ -121,6 +136,7 @@ def save_test_cameras(
     _write_colmap_dataset(
         os.path.join(out_root, "test"), list(test_infos),
         scene.points, scene.colors, copy_images,
+        intrinsics=getattr(scene, "intrinsics", None),
     )
 
 

@@ -64,7 +64,7 @@ def from_info(
     fy = h / (2.0 * math.tan(info.fovy * 0.5))
     gt = None
     if load_image and info.image_path:
-        gt = load_image_file(info.image_path, (w, h))
+        gt = load_image_file(info.image_path, (w, h), alpha_bg=info.alpha_bg)
     return Camera(
         uid=info.uid,
         viewmat=world_to_view(info.R, info.t).astype(np.float32),
@@ -77,11 +77,24 @@ def from_info(
     )
 
 
-def load_image_file(path: str, size: Tuple[int, int]) -> np.ndarray:
-    """(W, H) -> (H, W, 3) float32 in [0,1] (PILtoTorch, general_utils.py)."""
+def load_image_file(
+    path: str, size: Tuple[int, int], alpha_bg: Optional[np.ndarray] = None
+) -> np.ndarray:
+    """(W, H) -> (H, W, 3) float32 in [0,1] (PILtoTorch, general_utils.py).
+
+    With ``alpha_bg``, RGBA inputs are alpha-composited over that background
+    (NeRF-synthetic ground truth, dataset_readers.py:470-477)."""
     from PIL import Image as PILImage
 
-    img = PILImage.open(path).convert("RGB")
+    img = PILImage.open(path)
+    if alpha_bg is not None and img.mode in ("RGBA", "LA", "PA", "P"):
+        rgba = img.convert("RGBA")
+        if rgba.size != size:
+            rgba = rgba.resize(size, PILImage.LANCZOS)
+        arr = np.asarray(rgba, np.float32) / 255.0
+        bg = np.asarray(alpha_bg, np.float32).reshape(1, 1, 3)
+        return arr[..., :3] * arr[..., 3:4] + bg * (1.0 - arr[..., 3:4])
+    img = img.convert("RGB")
     if img.size != size:
         img = img.resize(size, PILImage.LANCZOS)
     return np.asarray(img, np.float32) / 255.0

@@ -42,6 +42,8 @@ class CameraInfo:
     image_name: str
     image_path: Optional[str] = None
     point3d_ids: Optional[np.ndarray] = None  # for partition visibility
+    camera_id: Optional[int] = None  # original COLMAP intrinsic id
+    alpha_bg: Optional[np.ndarray] = None  # RGBA composite bg (Blender)
 
     @property
     def center(self) -> np.ndarray:
@@ -62,6 +64,8 @@ class SceneInfo:
     colors: np.ndarray       # (N, 3) in [0, 1]
     extent: float
     ply_path: Optional[str] = None
+    intrinsics: Optional[dict] = None  # COLMAP id -> colmap.Camera (global)
+    test_camera_uids: Optional[List[int]] = None  # explicit split (Blender)
 
 
 def nerfpp_extent(centers: np.ndarray) -> float:
@@ -129,6 +133,7 @@ def load_colmap_scene(
                 image_name=im.name,
                 image_path=os.path.join(img_root, im.name),
                 point3d_ids=p3d,
+                camera_id=im.camera_id,
             )
         )
 
@@ -138,6 +143,7 @@ def load_colmap_scene(
         points=xyz.astype(np.float32),
         colors=rgb,
         extent=extent,
+        intrinsics=dict(cams),
     )
 
 
@@ -148,11 +154,21 @@ def _has_model(d: str) -> bool:
 
 
 def split_train_test(
-    cameras: List[CameraInfo], eval_split: bool, llffhold: int = 83
+    cameras: List[CameraInfo],
+    eval_split: bool,
+    llffhold: int = 83,
+    explicit_test: Optional[List[int]] = None,
 ) -> Tuple[List[CameraInfo], List[CameraInfo]]:
-    """Every llffhold-th view is test (dataset_readers.py:285-290)."""
+    """Every llffhold-th view is test (dataset_readers.py:285-290), unless
+    the dataset ships an explicit split (Blender transforms_test.json —
+    readNerfSyntheticInfo, dataset_readers.py:488-495)."""
     if not eval_split:
         return list(cameras), []
+    if explicit_test is not None:
+        tset = set(explicit_test)
+        train = [c for c in cameras if c.uid not in tset]
+        test = [c for c in cameras if c.uid in tset]
+        return train, test
     train = [c for i, c in enumerate(cameras) if i % llffhold != 0]
     test = [c for i, c in enumerate(cameras) if i % llffhold == 0]
     return train, test

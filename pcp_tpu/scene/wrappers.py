@@ -64,16 +64,26 @@ class Scene:
         load_iteration: Optional[int] = None,
         man_trans=None,
         seed: int = 0,
+        white_background: bool = False,
     ):
+        from pcp_tpu.scene.blender import is_blender_scene, load_blender_scene
+
         self.model_path = model_path
-        self.info: SceneInfo = load_colmap_scene(
-            source_path, images_dir=images, man_trans=man_trans
-        )
+        if is_blender_scene(source_path):
+            # reference Scene sniffs transforms_train.json (scene/__init__.py:40-47)
+            self.info: SceneInfo = load_blender_scene(
+                source_path, white_background=white_background, eval_split=eval
+            )
+        else:
+            self.info = load_colmap_scene(
+                source_path, images_dir=images, man_trans=man_trans
+            )
         os.makedirs(model_path, exist_ok=True)
         ensure_input_ply(self.info, model_path)
 
         train_infos, test_infos = split_train_test(
-            self.info.cameras, eval, llffhold
+            self.info.cameras, eval, llffhold,
+            explicit_test=self.info.test_camera_uids,
         )
         self.train_cameras: List[cam_mod.Camera] = [
             cam_mod.from_info(i, resolution) for i in train_infos

@@ -29,8 +29,24 @@ def load(path: str, template) -> Tuple[object, int]:
     data = np.load(path)
     iteration = int(data["__iteration__"])
     leaves, treedef = jax.tree_util.tree_flatten(template)
-    new_leaves = [
-        jnp.asarray(data[f"leaf_{i}"], l.dtype if hasattr(l, "dtype") else None)
-        for i, l in enumerate(leaves)
-    ]
+    n_saved = sum(1 for k in data.files if k.startswith("leaf_"))
+    if n_saved != len(leaves):
+        raise ValueError(
+            f"checkpoint {path!r} has {n_saved} leaves but the template has "
+            f"{len(leaves)} — was it saved with a different capacity or "
+            "use_appearance setting?"
+        )
+    new_leaves = []
+    for i, l in enumerate(leaves):
+        arr = data[f"leaf_{i}"]
+        tshape = tuple(getattr(l, "shape", arr.shape))
+        if tuple(arr.shape) != tshape:
+            raise ValueError(
+                f"checkpoint {path!r} leaf {i} has shape {tuple(arr.shape)} "
+                f"but the template expects {tshape} — capacity or model "
+                "config mismatch"
+            )
+        new_leaves.append(
+            jnp.asarray(arr, l.dtype if hasattr(l, "dtype") else None)
+        )
     return jax.tree_util.tree_unflatten(treedef, new_leaves), iteration

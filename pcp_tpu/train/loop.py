@@ -58,20 +58,29 @@ def init_state(
 
 
 def evaluate_cameras(state, cams, sh_degree, background, ocfg) -> Dict[str, float]:
-    """L1/PSNR over held-out cameras (training_report, train.py:188-243)."""
+    """L1/PSNR over held-out cameras (training_report, train.py:188-243).
+
+    Rendering is batched per image size (eval/render_batch) so hundreds of
+    test views run as a few vmapped XLA programs instead of one eager
+    dispatch per camera."""
+    from pcp_tpu.eval.render_batch import render_views
+
     l1s, psnrs = [], []
+    by_size: Dict[tuple, list] = {}
     for cam in cams:
-        viewmat, intrin = cam_mod.camera_device_arrays(cam)
-        img, _ = render_gaussians(
-            state.params, state.alive, viewmat, intrin,
-            (cam.width, cam.height), background, sh_degree,
+        by_size.setdefault((cam.width, cam.height), []).append(cam)
+    for group in by_size.values():
+        imgs = render_views(
+            state.params, state.alive, group, sh_degree, background,
             max_per_tile=ocfg.max_per_tile,
-            max_pairs=ocfg.pairs_per_gaussian * state.params["xyz"].shape[0],
+            pairs_per_gaussian=ocfg.pairs_per_gaussian,
+            batch=min(8, len(group)),
         )
-        img = jnp.clip(img, 0.0, 1.0)
-        gt = jnp.asarray(cam.gt_image)
-        l1s.append(float(jnp.mean(jnp.abs(img - gt))))
-        psnrs.append(float(psnr(img[None], gt[None])[0]))
+        for cam, img in zip(group, imgs):
+            gt = np.asarray(cam.gt_image)
+            l1s.append(float(np.mean(np.abs(img - gt))))
+            psnrs.append(float(psnr(jnp.asarray(img)[None],
+                                    jnp.asarray(gt)[None])[0]))
     return {
         "l1": float(np.mean(l1s)) if l1s else 0.0,
         "psnr": float(np.mean(psnrs)) if psnrs else 0.0,
@@ -105,6 +114,7 @@ def poll_viewer(viewer, state, sh_degree, background, ocfg, training_done):
         (cam.width, cam.height), background, sh_degree,
         max_per_tile=ocfg.max_per_tile,
         max_pairs=ocfg.pairs_per_gaussian * state.params["xyz"].shape[0],
+        scaling_modifier=cam.scaling_modifier,
     )
     arr = np.asarray(jnp_.clip(img, 0, 1) * 255).astype(np.uint8)
     viewer.send(arr, "pcp_tpu")
@@ -121,6 +131,7 @@ def train_scene(
     start_iter: int = 0,
     viewer=None,
     profile: bool = False,
+    debug: bool = False,
 ) -> TrainState:
     """Train one scene/block; writes outputs under cfg.model.model_path.
 
@@ -134,18 +145,18 @@ def train_scene(
     ocfg = cfg.optim
 
     train_infos, test_infos = split_train_test(
-        scene.cameras, cfg.model.eval, cfg.model.llffhold
+        scene.cameras, cfg.model.eval, cfg.model.llffhold,
+        explicit_test=getattr(scene, "test_camera_uids", None),
     )
     cams = [cam_mod.from_info(i, cfg.model.resolution) for i in train_infos]
     test_cams = [cam_mod.from_info(i, cfg.model.resolution) for i in test_infos]
     if not cams:
         raise ValueError("no training cameras")
-    sizes = {(c.width, c.height) for c in cams}
-    if len(sizes) != 1:
-        raise NotImplementedError(
-            f"mixed image sizes per block not supported in the jitted path: {sizes}"
-        )
-    w, h = next(iter(sizes))
+    sizes = sorted({(c.width, c.height) for c in cams})
+    w, h = sizes[0]
+    if len(sizes) > 1 and log_fn:
+        log_fn(f"{len(sizes)} camera resolutions "
+               f"{sizes}; compiling one train step per size")
 
     background = jnp.asarray(
         [1.0, 1.0, 1.0] if cfg.model.white_background else [0.0, 0.0, 0.0],
@@ -156,9 +167,14 @@ def train_scene(
         key, init_key = jax.random.split(key)
         state = init_state(scene, cfg, (w, h), init_key)
 
-    step_fn = make_train_step(
-        ocfg, (w, h), scene.extent, use_appearance=cfg.pipeline.use_appearance
-    )
+    # one compiled step per distinct camera resolution (the appearance net
+    # is fully convolutional, so a single param set serves every size)
+    step_fns = {
+        s: make_train_step(
+            ocfg, s, scene.extent, use_appearance=cfg.pipeline.use_appearance
+        )
+        for s in sizes
+    }
     densify_fn = make_densify_step(ocfg, scene.extent)
 
     from pcp_tpu.train.logging import TrainLogger
@@ -187,6 +203,10 @@ def train_scene(
         sh_degree = min(cfg.model.sh_degree, (it - 1) // 1000)
 
         viewmat, intrin = cam_mod.camera_device_arrays(cam)
+        step_fn = step_fns[(cam.width, cam.height)]
+        if debug:
+            # step_fn donates the state; snapshot it to host first
+            prev_host = jax.device_get(state)
         state, metrics = step_fn(
             state,
             viewmat,
@@ -196,6 +216,17 @@ def train_scene(
             background,
             sh_degree,
         )
+        if debug and not np.isfinite(float(metrics["loss"])):
+            # Forensic dump, mirroring the reference rasterizer's
+            # snapshot_fw.dump-on-CUDA-error (diff_gaussian_rasterization/
+            # __init__.py:83-90) + --detect_anomaly (train.py:256).
+            dump = os.path.join(model_path, f"nan_snapshot_{it}.npz")
+            _dump_step_inputs(dump, prev_host, cam, it, sh_degree)
+            raise FloatingPointError(
+                f"non-finite loss at iteration {it} "
+                f"(loss={float(metrics['loss'])}); step inputs dumped to "
+                f"{dump}"
+            )
 
         # --- densification cadence (train.py:140-152) ---
         if ocfg.densify_from_iter <= it <= ocfg.densify_until_iter:
@@ -218,8 +249,15 @@ def train_scene(
                 log_fn(
                     f"[warn] iter {it}: tile-pair capacity overflow "
                     f"({int(metrics['n_pairs'])} intersections > "
-                    f"pairs_per_gaussian * capacity); distant Gaussians are "
+                    f"pairs_per_gaussian * capacity); farthest Gaussians are "
                     f"being dropped — raise --pairs_per_gaussian"
+                )
+            if bool(metrics.get("tile_saturated", False)) and log_fn:
+                log_fn(
+                    f"[warn] iter {it}: per-tile saturation "
+                    f"(densest tile holds {int(metrics['max_tile_load'])} "
+                    f"Gaussians > max_per_tile={ocfg.max_per_tile}); farthest "
+                    f"are dropped in dense tiles — raise --max_per_tile"
                 )
             logger.scalars(it, {
                 "train_loss_patches/total_loss": loss,
@@ -257,6 +295,21 @@ def train_scene(
         jax.profiler.stop_trace()
     logger.close()
     return state
+
+
+def _dump_step_inputs(path: str, state_host, cam, iteration: int,
+                      sh_degree: int) -> None:
+    """Flatten the pre-step TrainState + camera inputs into one npz."""
+    leaves, _ = jax.tree_util.tree_flatten(state_host)
+    arrs = {f"state_leaf_{i}": np.asarray(l) for i, l in enumerate(leaves)}
+    arrs["viewmat"] = np.asarray(cam.viewmat)
+    arrs["gt_image"] = np.asarray(cam.gt_image)
+    arrs["intrin"] = np.asarray([cam.fx, cam.fy, cam.width / 2.0,
+                                 cam.height / 2.0], np.float32)
+    arrs["view_uid"] = np.asarray(cam.uid)
+    arrs["iteration"] = np.asarray(iteration)
+    arrs["sh_degree"] = np.asarray(sh_degree)
+    np.savez_compressed(path, **arrs)
 
 
 def save_model(state: TrainState, model_path: str, iteration: int, stem: str):

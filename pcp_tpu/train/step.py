@@ -92,13 +92,15 @@ def render_gaussians(
     max_pairs: int = None,
     means2d_offset=None,
     tan_fov=None,
+    scaling_modifier: float = 1.0,
 ):
     """Activate params and rasterize — the render() front-end
-    (gaussian_renderer/__init__.py:18-100)."""
+    (gaussian_renderer/__init__.py:18-100). ``scaling_modifier`` scales the
+    activated extents like GaussianRasterizationSettings.scale_modifier."""
     opac = G.opacity_act(params["opacity"])[:, 0] * alive.astype(jnp.float32)
     return rasterize(
         params["xyz"],
-        G.scaling_act(params["scaling"]),
+        G.scaling_act(params["scaling"]) * scaling_modifier,
         params["rotation"],
         opac,
         G.sh_coeffs(params),
@@ -127,12 +129,24 @@ def train_step_impl(
     image_size,
     sh_degree: int,
     use_appearance: bool,
+    valid_wh=None,
 ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
-    """Pure step body (train.py:94-157). See module docstring."""
+    """Pure step body (train.py:94-157). See module docstring.
+
+    ``valid_wh`` ((2,) int32, traced) enables pad-and-mask mixed-resolution
+    training: the camera's true (w, h) inside a padded (image_size) frame.
+    L1/SSIM are exact w.r.t. the native resolution (zero-padded convs);
+    appearance decoupling sees the zero-padded frame (exact when unmasked).
+    """
     w, h = int(image_size[0]), int(image_size[1])
     lrs_g = gaussian_lrs(ocfg, extent)
     lrs_a = appearance_lrs(ocfg)
     probe0 = jnp.zeros_like(state.params["xyz"][:, :2])
+    mask = None
+    if valid_wh is not None:
+        mask = (jnp.arange(w)[None, :] < valid_wh[0]) & (
+            jnp.arange(h)[:, None] < valid_wh[1]
+        )
 
     def loss_fn(params, app, probe):
         image, aux = render_gaussians(
@@ -152,9 +166,9 @@ def train_step_impl(
         else:
             decoupled = image
         chw = lambda x: jnp.transpose(x, (2, 0, 1))
-        loss = (1.0 - ocfg.lambda_dssim) * l1_loss(decoupled, gt) + (
+        loss = (1.0 - ocfg.lambda_dssim) * l1_loss(decoupled, gt, mask) + (
             ocfg.lambda_dssim
-        ) * (1.0 - ssim(chw(image), chw(gt)))
+        ) * (1.0 - ssim(chw(image), chw(gt), valid_mask=mask))
         return loss, aux
 
     (loss, aux), grads = jax.value_and_grad(
@@ -197,6 +211,8 @@ def train_step_impl(
         "n_visible": jnp.sum(visible),
         "overflow": aux["n_pairs"]
         > ocfg.pairs_per_gaussian * state.params["xyz"].shape[0],
+        "max_tile_load": aux["max_tile_load"],
+        "tile_saturated": aux["max_tile_load"] > ocfg.max_per_tile,
     }
     return new_state, metrics
 

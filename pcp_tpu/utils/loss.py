@@ -14,15 +14,20 @@ import jax.numpy as jnp
 from jax import lax
 
 
-def l1_loss(pred, target):
-    return jnp.abs(pred - target).mean()
+def l1_loss(pred, target, valid_mask=None):
+    """Mean |pred - target|; with ``valid_mask`` (H, W) the mean runs over
+    valid pixels only (pad-and-mask mixed-resolution support)."""
+    if valid_mask is None:
+        return jnp.abs(pred - target).mean()
+    m = valid_mask.astype(pred.dtype)[..., None]
+    n = jnp.maximum(m.sum() * pred.shape[-1], 1.0)
+    return jnp.sum(jnp.abs(pred - target) * m) / n
 
 
 def l2_loss(pred, target):
     return ((pred - target) ** 2).mean()
 
 
-@functools.lru_cache(maxsize=None)
 @functools.lru_cache(maxsize=8)
 def _gaussian_window(window_size: int, sigma: float):
     import jax
@@ -52,15 +57,24 @@ def _depthwise_blur(img, window_size: int, sigma: float):
     return x[0]
 
 
-def ssim(img1, img2, window_size: int = 11, sigma: float = 1.5):
+def ssim(img1, img2, window_size: int = 11, sigma: float = 1.5,
+         valid_mask=None):
     """Mean SSIM over a (C, H, W) image pair in [0, 1].
 
     Same constants as loss_utils.py:55-63: C1 = 0.01^2, C2 = 0.03^2; Gaussian
     window normalized to sum 1; 'same' padding (the reference pads by
     window//2 as well).
+
+    With ``valid_mask`` (H, W): inputs are zeroed outside the mask and the
+    SSIM map is averaged over valid pixels only. Because the convs zero-pad,
+    this equals computing SSIM at the native (unpadded) resolution exactly.
     """
     img1 = img1.astype(jnp.float32)
     img2 = img2.astype(jnp.float32)
+    if valid_mask is not None:
+        m = valid_mask.astype(jnp.float32)[None]
+        img1 = img1 * m
+        img2 = img2 * m
     mu1 = _depthwise_blur(img1, window_size, sigma)
     mu2 = _depthwise_blur(img2, window_size, sigma)
     mu1_sq = mu1 * mu1
@@ -74,6 +88,10 @@ def ssim(img1, img2, window_size: int = 11, sigma: float = 1.5):
     ssim_map = ((2 * mu1_mu2 + C1) * (2 * sigma12 + C2)) / (
         (mu1_sq + mu2_sq + C1) * (sigma1_sq + sigma2_sq + C2)
     )
+    if valid_mask is not None:
+        m = valid_mask.astype(jnp.float32)[None]
+        n = jnp.maximum(m.sum() * ssim_map.shape[0], 1.0)
+        return jnp.sum(ssim_map * m) / n
     return ssim_map.mean()
 
 

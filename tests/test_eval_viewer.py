@@ -108,3 +108,20 @@ def test_network_gui_roundtrip():
     gui.close()
     assert received["verify"] == "ok"
     assert received["img_len"] == 144
+
+
+def test_lpips_full_graph_realistic_resolution(tmp_path, rng):
+    """Exercise the whole conv stack (5 taps, 2 maxpools, 5 linear heads)
+    at a reference-scale resolution so tap shapes and strides are validated
+    end-to-end, not just at thumbnail size."""
+    import jax.numpy as jnp
+
+    from pcp_tpu.eval.lpips import make_lpips
+
+    p = str(tmp_path / "w.npz")
+    _random_lpips_weights(p, rng)
+    fn = make_lpips(p)
+    a = jnp.asarray(rng.uniform(size=(600, 800, 3)), jnp.float32)
+    b = jnp.clip(a + 0.1, 0.0, 1.0)
+    d = float(fn(a, b))
+    assert np.isfinite(d) and d > 0.0

@@ -88,7 +88,9 @@ def test_fleet_matches_single_block(synth):
         )
         gts = jnp.asarray(np.stack([cams[j].gt_image for j in order]))
         uids = jnp.asarray([cams[j].uid for j in order], jnp.int32)
-        fleet, metrics = fstep(fleet, viewmats, intr, gts, uids, bg, 0)
+        whs = jnp.asarray([(cams[j].width, cams[j].height) for j in order],
+                          jnp.int32)
+        fleet, metrics = fstep(fleet, viewmats, intr, gts, uids, whs, bg, 0)
 
     # block 0 saw cameras 0,1,2,3 in order == the single-block run
     host = jax.device_get(fleet)

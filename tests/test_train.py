@@ -105,3 +105,47 @@ def test_checkpoint_roundtrip(scene_dir, tmp_path):
     np.testing.assert_array_equal(
         np.asarray(state.params["xyz"]), np.asarray(state2.params["xyz"])
     )
+
+
+def test_debug_mode_dumps_on_nan(scene_dir, tmp_path):
+    """--debug forensics (reference snapshot dumps + --detect_anomaly):
+    a NaN injected into the Gaussian params must produce an npz dump of the
+    step inputs and a FloatingPointError naming it."""
+    import glob
+
+    import jax
+    import numpy as np
+    import pytest
+
+    from pcp_tpu.scene import load_colmap_scene
+    from pcp_tpu.train.config import (
+        ModelConfig,
+        OptimConfig,
+        PipelineConfig,
+        TrainRunConfig,
+    )
+    from pcp_tpu.train.loop import init_state, train_scene
+
+    scene = load_colmap_scene(scene_dir)
+    out = str(tmp_path / "dbg")
+    cfg = TrainRunConfig(
+        model=ModelConfig(source_path=scene_dir, model_path=out,
+                          resolution=1, sh_degree=0),
+        optim=OptimConfig(iterations=3, capacity=256, max_per_tile=64,
+                          densify_from_iter=1_000),
+        pipeline=PipelineConfig(use_appearance=False),
+        test_iterations=[], save_iterations=[],
+    )
+    state = init_state(scene, cfg, (64, 48), jax.random.PRNGKey(0))
+    # NaN every color: any visible Gaussian poisons the rendered image
+    # (a NaN position would just be frustum-culled)
+    bad = state.params["f_dc"] * np.nan
+    state = state._replace(params={**state.params, "f_dc": bad})
+
+    with pytest.raises(FloatingPointError, match="non-finite loss"):
+        train_scene(scene, cfg, log_fn=None, state=state, debug=True)
+    dumps = glob.glob(out + "/nan_snapshot_*.npz")
+    assert len(dumps) == 1
+    data = np.load(dumps[0])
+    assert "gt_image" in data and "viewmat" in data
+    assert any(k.startswith("state_leaf_") for k in data.files)
