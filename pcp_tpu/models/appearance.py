@@ -31,33 +31,40 @@ def _pixel_shuffle(x: jnp.ndarray, r: int = 2) -> jnp.ndarray:
     return x.reshape(b, h * r, w * r, co)
 
 
+def _resize_matrix(out: int, inp: int) -> jnp.ndarray:
+    """(out, inp) align_corners=True bilinear interpolation matrix
+    (2 non-zeros per row). Dense so the resize runs as a matmul on the
+    MXU instead of 4 gathers on the VPU — the gather formulation was the
+    appearance net's hottest op (~half its 50 ms fwd+bwd on TPU)."""
+    import numpy as np
+
+    if out == 1 or inp == 1:
+        m = np.zeros((out, inp), np.float32)
+        m[:, 0] = 1.0
+        return jnp.asarray(m)
+    pos = np.arange(out, dtype=np.float64) * ((inp - 1) / (out - 1))
+    i0 = np.clip(np.floor(pos).astype(np.int64), 0, inp - 1)
+    i1 = np.clip(i0 + 1, 0, inp - 1)
+    f = (pos - i0).astype(np.float32)
+    m = np.zeros((out, inp), np.float32)
+    m[np.arange(out), i0] += 1.0 - f
+    m[np.arange(out), i1] += f
+    import jax
+
+    with jax.ensure_compile_time_eval():
+        return jnp.asarray(m)
+
+
 def _bilinear_resize(x: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
-    """align_corners=True bilinear resize, matching torch F.interpolate."""
+    """align_corners=True bilinear resize (torch F.interpolate parity),
+    expressed as two dense matmuls: out = Wy @ x @ Wx^T per channel."""
     b, hi, wi, c = x.shape
-
-    def grid(out, inp):
-        if out == 1:
-            return jnp.zeros((out,), jnp.float32)
-        return jnp.arange(out, dtype=jnp.float32) * ((inp - 1) / (out - 1))
-
-    ys = grid(h, hi)
-    xs = grid(w, wi)
-    y0 = jnp.clip(jnp.floor(ys).astype(jnp.int32), 0, hi - 1)
-    y1 = jnp.clip(y0 + 1, 0, hi - 1)
-    x0 = jnp.clip(jnp.floor(xs).astype(jnp.int32), 0, wi - 1)
-    x1 = jnp.clip(x0 + 1, 0, wi - 1)
-    wy = (ys - y0.astype(jnp.float32))[None, :, None, None]
-    wx = (xs - x0.astype(jnp.float32))[None, None, :, None]
-    v00 = x[:, y0][:, :, x0]
-    v01 = x[:, y0][:, :, x1]
-    v10 = x[:, y1][:, :, x0]
-    v11 = x[:, y1][:, :, x1]
-    return (
-        v00 * (1 - wy) * (1 - wx)
-        + v01 * (1 - wy) * wx
-        + v10 * wy * (1 - wx)
-        + v11 * wy * wx
-    )
+    wy = _resize_matrix(h, hi)
+    wx = _resize_matrix(w, wi)
+    x = jnp.einsum("oh,bhwc->bowc", wy, x,
+                   preferred_element_type=jnp.float32)
+    return jnp.einsum("pw,bhwc->bhpc", wx, x,
+                      preferred_element_type=jnp.float32)
 
 
 class UpsampleBlock(nn.Module):

@@ -110,13 +110,29 @@ def bin_gaussians(
     tile_id = ((g[:, 1] + tyl) * tiles_x + g[:, 0] + txl).astype(jnp.uint32)
     tile_id = jnp.where(valid, tile_id, jnp.uint32(num_tiles))
 
-    # --- packed single-key uint32 sort: [tile | depth-bits]; the payload
-    # carries the ORIGINAL Gaussian id so downstream gathers are unchanged ---
-    key = (tile_id << jnp.uint32(depth_bits)) | jnp.where(
-        valid, g[:, 4].astype(jnp.uint32), jnp.uint32(0)
-    )
-    s_key, s_gid = jax.lax.sort((key, g[:, 5]), num_keys=1, is_stable=False)
-    s_tile = (s_key >> jnp.uint32(depth_bits)).astype(jnp.int32)
+    pair_bits = _ceil_log2(max_pairs)  # pair ranks are 0..max_pairs-1
+    if tile_bits + pair_bits <= 32:
+        # --- FAST PATH: ONE single-array uint32 sort of [tile | pair-rank].
+        # Pairs are expanded in global near-to-far depth order, so a
+        # grouping by tile that preserves pair order IS depth-sorted within
+        # every tile — no depth bits in the key, and crucially no sort
+        # payload: a (key, payload) lax.sort costs ~11x a single-array sort
+        # on TPU (46 ms vs 4 ms at 2M pairs). The Gaussian id is recovered
+        # with one gather through the unpacked pair rank. ---
+        skey = (tile_id << jnp.uint32(pair_bits)) | pair_idx.astype(jnp.uint32)
+        s = jax.lax.sort(skey, is_stable=False)
+        s_tile = (s >> jnp.uint32(pair_bits)).astype(jnp.int32)
+        s_pair = (s & jnp.uint32((1 << pair_bits) - 1)).astype(jnp.int32)
+        s_gid = g[:, 5][s_pair]
+    else:
+        # --- fallback (huge tile grids): [tile | depth-bits] key with the
+        # Gaussian id as sort payload (rasterizer_impl.cu:90 semantics) ---
+        key = (tile_id << jnp.uint32(depth_bits)) | jnp.where(
+            valid, g[:, 4].astype(jnp.uint32), jnp.uint32(0)
+        )
+        s_key, s_gid = jax.lax.sort((key, g[:, 5]), num_keys=1,
+                                    is_stable=False)
+        s_tile = (s_key >> jnp.uint32(depth_bits)).astype(jnp.int32)
 
     # --- per-tile ranges (identifyTileRanges, rasterizer_impl.cu:116-138) ---
     tile_range = jnp.arange(num_tiles, dtype=jnp.int32)
@@ -126,13 +142,10 @@ def bin_gaussians(
     max_tile_load = load.max() if num_tiles > 0 else jnp.int32(0)
     tile_count = jnp.minimum(load, max_per_tile)
 
-    # --- within-tile slot = pair index - segment start; the segment start
-    # per PAIR comes from a boundary scatter + cummax (a starts[s_tile]
-    # gather over max_pairs scalars costs ~30 ms on TPU) ---
-    is_boundary = jnp.concatenate(
-        [jnp.ones((1,), bool), s_tile[1:] != s_tile[:-1]]
-    )
-    seg_start = jax.lax.cummax(jnp.where(is_boundary, pair_idx, 0))
+    # --- within-tile slot = pair index - tile segment start (gather from
+    # the small starts table; 2.5x faster than the boundary-scatter cummax
+    # variant at 2M pairs) ---
+    seg_start = starts[jnp.clip(s_tile, 0, num_tiles - 1)]
     slot = pair_idx - seg_start
     ok = (s_tile < num_tiles) & (slot < max_per_tile)
     flat_target = jnp.where(

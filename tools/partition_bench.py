@@ -26,10 +26,11 @@ def make_scene():
     from pcp_tpu.scene.dataset import CameraInfo, SceneInfo, nerfpp_extent
 
     rng = np.random.default_rng(0)
-    # urban-scale layout: a 400 x 400 m ground plane with mild elevation
+    # urban-scale layout: a 400 x 400 m quasi-2.5D surface (aerial SfM
+    # clouds concentrate on ground/roof surfaces; ~31 pts/m^2 here)
     pts = np.stack(
         [rng.uniform(-200, 200, N_POINTS), rng.uniform(-200, 200, N_POINTS),
-         rng.normal(0, 5, N_POINTS)], -1,
+         rng.normal(0, 0.5, N_POINTS)], -1,
     ).astype(np.float32)
     cols = rng.uniform(0, 1, (N_POINTS, 3)).astype(np.float32)
 
