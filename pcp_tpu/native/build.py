@@ -71,3 +71,47 @@ def _configure(lib: ctypes.CDLL) -> None:
     lib.colmap_images_count.restype = ct.c_int
     lib.colmap_images_count.argtypes = [u8p, ct.c_uint64, u64p, u64p, u64p]
     lib.colmap_images_parse.restype = ct.c_int
+
+
+_PTS_LOCK = threading.Lock()
+_PTS_LIB: Optional[ctypes.CDLL] = None
+_PTS_TRIED = False
+
+
+def load_points_library() -> Optional[ctypes.CDLL]:
+    """Build (once) and load the point-cloud ops; None without a toolchain."""
+    global _PTS_LIB, _PTS_TRIED
+    with _PTS_LOCK:
+        if _PTS_LIB is not None or _PTS_TRIED:
+            return _PTS_LIB
+        _PTS_TRIED = True
+        src = os.path.join(os.path.dirname(__file__), "points_native.cpp")
+        cache = os.environ.get(
+            "PCP_NATIVE_CACHE", os.path.join(os.path.dirname(__file__), "_build")
+        )
+        os.makedirs(cache, exist_ok=True)
+        with open(src, "rb") as f:
+            digest = hashlib.sha256(f.read()).hexdigest()[:16]
+        so = os.path.join(cache, f"libpoints_native-{digest}.so")
+        try:
+            if not os.path.exists(so):
+                subprocess.run(
+                    ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+                     src, "-o", so],
+                    check=True, capture_output=True, timeout=120,
+                )
+            import ctypes as ct
+
+            lib = ctypes.CDLL(so)
+            lib.radius_outlier_filter.restype = ct.c_int
+            lib.radius_outlier_filter.argtypes = [
+                ct.POINTER(ct.c_float), ct.c_int64, ct.c_int32, ct.c_float,
+                ct.POINTER(ct.c_uint8),
+            ]
+            _PTS_LIB = lib
+        except (OSError, subprocess.SubprocessError) as e:
+            import warnings
+
+            warnings.warn(f"native point ops unavailable ({e}); "
+                          "falling back to numpy")
+        return _PTS_LIB

@@ -7,12 +7,14 @@ InclusiveSum over tiles_touched -> duplicateWithKeys -> DeviceRadixSort on
 shaped by TPU microbenchmarks (each pitfall below cost 100-400 ms/step at
 2M pairs before being designed out):
 
-1. The pair key packs [tile | top depth-float bits] into ONE uint32 — the
-   float bit pattern is monotonic for positive depths, so this is the CUDA
-   radix-sort-the-raw-bits trick (rasterizer_impl.cu:90) squeezed to
-   32 - log2(tiles) depth bits (TPUs have no 64-bit sort). Ties within the
-   truncated mantissa order arbitrarily, exactly like CUDA ties on equal
-   floats. No N-argsort, no rank table, no id translation.
+1. Gaussians expand in GLOBAL near-to-far depth order (one N-argsort of
+   raw depth-float bits — monotonic for positives, the CUDA
+   radix-sort-the-raw-bits trick, rasterizer_impl.cu:90), so grouping by
+   tile while preserving pair order IS per-tile depth sorting. The fast
+   path therefore sorts ONE uint32 [tile | pair-rank] array — no payload:
+   a (key, payload) lax.sort costs ~11x a single-array sort on TPU. The
+   fallback (when tile_bits + pair_bits > 32) packs [tile | depth bits]
+   and carries the Gaussian id as payload.
 2. Pair expansion maps slot -> owning Gaussian with a scatter of span starts
    + one associative cummax (a searchsorted here serializes into ~17 gather
    rounds over max_pairs queries: ~0.5 s).

@@ -65,20 +65,22 @@ def _grid_screen_tpu(points: np.ndarray, nb_points: int, radius: float):
     """Dense-grid neighbour-count bounds on the accelerator: returns
     (certain_in, certain_out) bool masks, or None when infeasible.
 
-    One r/4 occupancy grid (scatter-add), then two 3-D convolutions:
-    - inner stencil: cells GUARANTEED within r of anywhere in the center
-      cell ((|d|+1)^2 sum <= 16 at side r/4) -> count >= nb+1 certainly in;
-    - outer stencil: cells POSSIBLY within r ((max(|d|-1,0))^2 sum <= 16)
-      -> count < nb+1 certainly out.
-    No sorting anywhere — the np.unique passes this replaces cost ~12 s at
-    5M points on the single-core partition host.
+    One r/4 occupancy grid (scatter-add) and a 3-D INTEGRAL IMAGE (three
+    int32 cumsums); per-point box counts are 8-corner gathers:
+    - inner box |d| <= 1 (3^3 cells of side r/4): two points in cells with
+      per-axis offset <= 1 are at most 2*(r/4)*sqrt(3) = 0.87r apart
+      -> count >= nb+1 certainly keeps the point;
+    - outer box |d| <= 5: every point within r lies inside (min distance of
+      a |d| = 6 cell is 5 * r/4 > r) -> count < nb+1 certainly removes it.
+    int32 throughout (exact counts); no convolutions, so the program
+    compiles in seconds where a dense 11^3 stencil conv took ~a minute.
     """
     s = radius / 4.0
-    q = np.floor(points / s).astype(np.int32)
+    q = np.floor(points / s).astype(np.int64)
     q -= q.min(axis=0)
     dims = q.max(axis=0) + 1
     n_cells = int(np.prod(dims.astype(np.int64)))
-    if n_cells > (1 << 28):  # ~1 GB f32 grid: fall back to host path
+    if n_cells > (1 << 28):  # ~1 GB grid: fall back to host path
         return None
     try:
         import jax
@@ -86,51 +88,75 @@ def _grid_screen_tpu(points: np.ndarray, nb_points: int, radius: float):
     except ImportError:
         return None
     if jax.default_backend() == "cpu":
-        return None  # the 11^3 conv needs an accelerator; host path instead
+        return None  # designed for the accelerator; host path is faster here
 
-    def stencil(pred, reach):
-        rng_ = np.arange(-reach, reach + 1)
-        dx, dy, dz = np.meshgrid(rng_, rng_, rng_, indexing="ij")
-        return pred(np.abs(dx), np.abs(dy), np.abs(dz)).astype(np.float32)
-
-    k_inner = stencil(
-        lambda x, y, z: (x + 1) ** 2 + (y + 1) ** 2 + (z + 1) ** 2 <= 16, 2
-    )
-    k_outer = stencil(
-        lambda x, y, z: np.maximum(x - 1, 0) ** 2 + np.maximum(y - 1, 0) ** 2
-        + np.maximum(z - 1, 0) ** 2 <= 16, 5
-    )
-
-    flat = (
-        q[:, 0].astype(np.int64) * int(dims[1]) + q[:, 1]
-    ) * int(dims[2]) + q[:, 2]
-    flat = flat.astype(np.int32) if n_cells < (1 << 31) else flat
+    dx, dy, dz = (int(d) for d in dims)
+    flat = (q[:, 0] * dy + q[:, 1]) * dz + q[:, 2]
+    flat = flat.astype(np.int32)
+    qj = q.astype(np.int32)
 
     @jax.jit
-    def run(flat_idx):
+    def run(flat_idx, qpt):
         grid = (
-            jnp.zeros((n_cells,), jnp.float32)
-            .at[flat_idx].add(1.0)
-            .reshape(tuple(int(d) for d in dims))
+            jnp.zeros((n_cells,), jnp.int32)
+            .at[flat_idx].add(1)
+            .reshape((dx, dy, dz))
         )
-        x = grid[None, ..., None]  # NDHWC
+        # integral image: I[a,b,c] = count of cells [0..a) x [0..b) x [0..c)
+        integ = jnp.cumsum(jnp.cumsum(jnp.cumsum(grid, 0), 1), 2)
+        integ = jnp.pad(integ, ((1, 0), (1, 0), (1, 0)))
 
-        def conv(img, k):
-            kk = jnp.asarray(k)[..., None, None]  # DHWIO
-            pad = [(k.shape[i] // 2,) * 2 for i in range(3)]
-            return jax.lax.conv_general_dilated(
-                img, kk, (1, 1, 1), pad,
-                dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-            )[0, ..., 0]
+        def box_count(reach):
+            lo = jnp.clip(qpt - reach, 0, None)            # (N, 3)
+            hi = jnp.minimum(qpt + reach + 1, jnp.asarray([dx, dy, dz]))
 
-        inner = conv(x, k_inner).reshape(-1)[flat_idx]
-        outer = conv(x, k_outer).reshape(-1)[flat_idx]
-        return inner, outer
+            def corner(ax, bx, cx_):
+                return integ[ax, bx, cx_]
 
-    inner, outer = run(jnp.asarray(flat))
+            a0, b0, c0 = lo[:, 0], lo[:, 1], lo[:, 2]
+            a1, b1, c1 = hi[:, 0], hi[:, 1], hi[:, 2]
+            return (
+                corner(a1, b1, c1) - corner(a0, b1, c1)
+                - corner(a1, b0, c1) - corner(a1, b1, c0)
+                + corner(a0, b0, c1) + corner(a0, b1, c0)
+                + corner(a1, b0, c0) - corner(a0, b0, c0)
+            )
+
+        return box_count(1), box_count(5)
+
+    inner, outer = run(jnp.asarray(flat), jnp.asarray(qj))
     inner = np.asarray(inner)
     outer = np.asarray(outer)
-    return inner - 1.0 >= nb_points, outer - 1.0 < nb_points
+    return inner - 1 >= nb_points, outer - 1 < nb_points
+
+
+def _radius_outlier_native(points: np.ndarray, nb_points: int,
+                           radius: float):
+    """C++ grid-hash + early-exit filter (native/points_native.cpp): the
+    primary path — exact, ~2 s at 5M points on the single-core host where
+    numpy costs ~45 s and accelerator offload pays ~1 min of remote
+    compile per grid shape. Returns None if the toolchain is missing."""
+    try:
+        from pcp_tpu.native.build import load_points_library
+    except ImportError:
+        return None
+    lib = load_points_library()
+    if lib is None:
+        return None
+    import ctypes as ct
+
+    pts = np.ascontiguousarray(points, np.float32)
+    keep = np.zeros(len(pts), np.uint8)
+    rc = lib.radius_outlier_filter(
+        pts.ctypes.data_as(ct.POINTER(ct.c_float)),
+        ct.c_int64(len(pts)),
+        ct.c_int32(nb_points),
+        ct.c_float(radius),
+        keep.ctypes.data_as(ct.POINTER(ct.c_uint8)),
+    )
+    if rc != 0:
+        return None
+    return keep.astype(bool)
 
 
 def radius_outlier_removal(
@@ -155,6 +181,9 @@ def radius_outlier_removal(
        cKDTree built ONLY on the points in their coarse neighbourhoods.
     """
     n = len(points)
+    native = _radius_outlier_native(points, nb_points, radius)
+    if native is not None:
+        return native
     if n > 500_000:
         r = float(radius)
         screens = _grid_screen_tpu(points, nb_points, r)

@@ -225,3 +225,57 @@ def test_camera_grid_visibility_adds_points(synth):
     # looser visibility must never shrink camera sets
     for s, l in zip(strict, loose):
         assert set(s.camera_uids) <= set(l.camera_uids)
+
+
+def test_radius_outlier_large_n_grid_path_exact(rng):
+    """The >500k two-grid screen + exact remainder must match brute kNN
+    semantics exactly (open3d remove_radius_outlier parity). On the CPU
+    test backend this exercises the sparse-cell fallback; the accelerated
+    dense-grid screen is validated by tools/ on the real chip."""
+    import numpy as np
+    from scipy.spatial import cKDTree
+
+    from pcp_tpu.partition.points import radius_outlier_removal
+
+    n = 600_000
+    pts = np.stack(
+        [rng.uniform(-60, 60, n), rng.uniform(-60, 60, n),
+         rng.normal(0, 0.5, n)], -1,
+    ).astype(np.float32)
+    keep = radius_outlier_removal(pts, nb_points=5, radius=1.0)
+
+    tree = cKDTree(pts.astype(np.float64))
+    d, _ = tree.query(pts.astype(np.float64), k=6, workers=-1)
+    np.testing.assert_array_equal(keep, d[:, -1] <= 1.0)
+
+
+def test_support_points_accel_matches_numpy(rng):
+    """The jitted projection+support kernel must agree with the numpy
+    reference formulation (same directions, same argmax winners' scores)."""
+    import numpy as np
+
+    from pcp_tpu.partition.visibility import (
+        _support_points,
+        _support_points_accel,
+        project_points_batched,
+    )
+
+    pts = rng.uniform(-2, 2, size=(500, 3)).astype(np.float32)
+    k = 6
+    Rs = np.stack([np.eye(3)] * k).astype(np.float32)
+    ts = np.tile(np.array([0.0, 0.0, 4.0], np.float32), (k, 1))
+    ts[:, 0] = np.linspace(-1, 1, k)
+    fx = fy = np.full(k, 80.0, np.float32)
+    cx = cy = np.full(k, 64.0, np.float32)
+
+    pix, front = project_points_batched(pts, Rs, ts, fx, fy, cx, cy)
+    sup_np, nf_np = _support_points(pix, front)
+    sup_ac, nf_ac = _support_points_accel(pts, Rs, ts, fx, fy, cx, cy)
+
+    np.testing.assert_array_equal(nf_np, nf_ac)
+    # argmax ties may pick different points; compare the support SCORES
+    ang = np.linspace(0, 2 * np.pi, 72, endpoint=False)
+    dirs = np.stack([np.cos(ang), np.sin(ang)], axis=1)
+    s_np = np.einsum("ckd,kd->ck", sup_np, dirs)
+    s_ac = np.einsum("ckd,kd->ck", sup_ac, dirs)
+    np.testing.assert_allclose(s_ac, s_np, rtol=1e-5, atol=1e-4)
