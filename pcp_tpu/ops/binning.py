@@ -37,6 +37,16 @@ import jax
 import jax.numpy as jnp
 
 
+import os as _os
+
+# [tile|depth]+payload sort is the DEFAULT: although a standalone payload
+# sort measures ~11x slower than a single-array sort, in the full program
+# the single-sort path ([tile|pair-rank] + id-recovery gather) benches
+# 0.9 iters/s SLOWER end-to-end. Set PCP_PAIR_SORT=0 for the fast-path A/B.
+FORCE_PAIR_SORT = _os.environ.get("PCP_PAIR_SORT", "1") == "1"
+DEPTH_ORDER_EXPANSION = _os.environ.get("PCP_DEPTH_ORDER", "1") == "1"
+
+
 class TileBins(NamedTuple):
     tile_gauss: jnp.ndarray   # (num_tiles, max_per_tile) int32 gauss ids; -1 pad
     tile_count: jnp.ndarray   # (num_tiles,) int32 live entries per tile
@@ -77,10 +87,14 @@ def bin_gaussians(
 
     # Expand pairs in NEAR-TO-FAR Gaussian order so a max_pairs overflow
     # drops the farthest Gaussians, not arbitrary indices. One N-argsort
-    # over the capacity axis (cheap next to the max_pairs key sort below).
-    perm = jnp.argsort(
-        jnp.where(counts > 0, dq, jnp.uint32(0xFFFFFFFF))
-    ).astype(jnp.int32)
+    # over the capacity axis. PCP_DEPTH_ORDER=0 disables for A/B timing
+    # (overflow then drops by Gaussian index like the round-1 code).
+    if DEPTH_ORDER_EXPANSION:
+        perm = jnp.argsort(
+            jnp.where(counts > 0, dq, jnp.uint32(0xFFFFFFFF))
+        ).astype(jnp.int32)
+    else:
+        perm = jnp.arange(n, dtype=jnp.int32)
     counts_p = counts[perm]
     offsets_p = jnp.cumsum(counts_p) - counts_p
     total = offsets_p[-1] + counts_p[-1] if n > 0 else jnp.int32(0)
@@ -113,7 +127,8 @@ def bin_gaussians(
     tile_id = jnp.where(valid, tile_id, jnp.uint32(num_tiles))
 
     pair_bits = _ceil_log2(max_pairs)  # pair ranks are 0..max_pairs-1
-    if tile_bits + pair_bits <= 32:
+    global FORCE_PAIR_SORT
+    if tile_bits + pair_bits <= 32 and not FORCE_PAIR_SORT:
         # --- FAST PATH: ONE single-array uint32 sort of [tile | pair-rank].
         # Pairs are expanded in global near-to-far depth order, so a
         # grouping by tile that preserves pair order IS depth-sorted within
@@ -144,10 +159,14 @@ def bin_gaussians(
     max_tile_load = load.max() if num_tiles > 0 else jnp.int32(0)
     tile_count = jnp.minimum(load, max_per_tile)
 
-    # --- within-tile slot = pair index - tile segment start (gather from
-    # the small starts table; 2.5x faster than the boundary-scatter cummax
-    # variant at 2M pairs) ---
-    seg_start = starts[jnp.clip(s_tile, 0, num_tiles - 1)]
+    # --- within-tile slot = pair index - segment start; the segment start
+    # per PAIR comes from a boundary scatter + cummax (a starts[s_tile]
+    # gather over max_pairs scalars benches slower in the full program
+    # despite winning the standalone micro-benchmark) ---
+    is_boundary = jnp.concatenate(
+        [jnp.ones((1,), bool), s_tile[1:] != s_tile[:-1]]
+    )
+    seg_start = jax.lax.cummax(jnp.where(is_boundary, pair_idx, 0))
     slot = pair_idx - seg_start
     ok = (s_tile < num_tiles) & (slot < max_per_tile)
     flat_target = jnp.where(

@@ -54,15 +54,20 @@ T_EPS = 1.0e-4
 
 TB = 8     # tiles per block (sublane-divisible)
 CH = 128   # Gaussian slots per chunk = one lane width
-PP = 256   # pixel slice per backward grid step: = P (no slicing), so each
-           # att block is read ONCE per chunk — PP=128 re-read every block
-           # and measured 2.2x slower (90 ms vs 41 ms fwd+bwd at 2M pairs)
+import os as _os
+
+PP = int(_os.environ.get("PCP_PP", "256"))
+           # pixel slice per backward grid step: = P (no slicing), so each
+           # att block is DMA'd ONCE per chunk — PP=128 re-read every block
+           # and measured 2.2x slower (90 ms vs 41 ms fwd+bwd at 2M pairs).
+           # NOTE: PP=256 requires USE_MXU_SCANS (the roll-scan scratch
+           # blows the 16 MB VMEM budget at full tile width).
 
 # Front-to-back scans along the slot axis as ONE triangular matmul on the
 # MXU (cumsum) instead of log2(CH)=7 masked-roll VPU passes; products go
 # through exp(cumsum(log)). (1 - alpha) >= 1 - ALPHA_MAX = 0.01 keeps the
 # logs bounded. Toggle for A/B timing.
-USE_MXU_SCANS = True
+USE_MXU_SCANS = _os.environ.get("PCP_MXU_SCANS", "1") == "1"
 
 
 def _tri(inclusive: bool, reverse: bool):

@@ -202,13 +202,32 @@ def select_cameras_by_visibility(
     cys = np.array([c.height / 2.0 for c in cameras], np.float32)
     block_points = np.ascontiguousarray(block_points, np.float32)
 
+    # Reduce the cloud to its 3-D convex-hull vertices: a perspective
+    # projection maps a convex polytope to the convex hull of its vertex
+    # projections (all-in-front case), so per-camera hull areas only need
+    # the ~10^2-10^3 hull vertices, not the 10^5-point cloud. Cameras with
+    # vertices behind the near plane get a slightly conservative area
+    # (behind vertices are masked) — those cameras sit inside the block
+    # and pass the threshold anyway. This keeps the whole filter on the
+    # single-core host at ~0.5 s/block where full-cloud scans cost
+    # 3.7 s/block (numpy) or a minute of remote compile (accelerator).
+    if len(block_points) > 1024:
+        try:
+            from scipy.spatial import ConvexHull, QhullError
+
+            hull3 = ConvexHull(block_points)
+            block_points = block_points[hull3.vertices]
+        except (QhullError, ValueError):
+            pass
+
     kept: List[int] = []
     for s in range(0, len(cameras), cam_batch):
         sl = slice(s, min(s + cam_batch, len(cameras)))
-        support, n_front = _support_points_accel(
+        pix, front = project_points_batched(
             block_points, Rs[sl], ts[sl],
             focals[sl, 0], focals[sl, 1], cxs[sl], cys[sl],
         )
+        support, n_front = _support_points(pix, front)
         for k, cam in enumerate(cameras[sl]):
             if n_front[k] <= 3:
                 continue
