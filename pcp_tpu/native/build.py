@@ -103,10 +103,20 @@ def load_points_library() -> Optional[ctypes.CDLL]:
             import ctypes as ct
 
             lib = ctypes.CDLL(so)
+            f32p = ct.POINTER(ct.c_float)
+            u8p = ct.POINTER(ct.c_uint8)
+            i64p = ct.POINTER(ct.c_int64)
             lib.radius_outlier_filter.restype = ct.c_int
             lib.radius_outlier_filter.argtypes = [
-                ct.POINTER(ct.c_float), ct.c_int64, ct.c_int32, ct.c_float,
-                ct.POINTER(ct.c_uint8),
+                f32p, ct.c_int64, ct.c_int32, ct.c_float, u8p,
+            ]
+            lib.compact_points.restype = ct.c_int64
+            lib.compact_points.argtypes = [f32p, u8p, ct.c_int64, f32p, i64p]
+            lib.bisect_xy.restype = ct.c_int
+            lib.bisect_xy.argtypes = [
+                f32p, ct.c_int64, ct.c_int64, ct.c_int, i64p, i64p,
+                ct.POINTER(ct.c_uint32), ct.POINTER(ct.c_int32), f32p,
+                ct.c_int,
             ]
             _PTS_LIB = lib
         except (OSError, subprocess.SubprocessError) as e:

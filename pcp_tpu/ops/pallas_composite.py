@@ -52,7 +52,8 @@ ALPHA_MIN = 1.0 / 255.0
 ALPHA_MAX = 0.99
 T_EPS = 1.0e-4
 
-TB = 8     # tiles per block (sublane-divisible)
+TB = int(__import__("os").environ.get("PCP_TB", "8"))
+           # tiles per block (sublane-divisible)
 CH = 128   # Gaussian slots per chunk = one lane width
 import os as _os
 

@@ -35,6 +35,9 @@ def balanced_bisection(
     """
     xy = np.asarray(xy)
     n = len(xy)
+    native = _bisect_native(xy, threshold, max_depth)
+    if native is not None:
+        return native
     root_box = Box2D(
         float(xy[:, 0].min()), float(xy[:, 1].min()),
         float(xy[:, 0].max()), float(xy[:, 1].max()),
@@ -65,6 +68,59 @@ def balanced_bisection(
         stack.append((pid + "1", right, rbox, depth + 1))
         stack.append((pid + "0", left, lbox, depth + 1))
     # DFS with left pushed last pops left-first -> stable, sorted-ish order.
+    out.sort(key=lambda t: t[0])
+    return out
+
+
+def _bisect_native(xy: np.ndarray, threshold: int, max_depth: int):
+    """C++ nth_element bisection (native/points_native.cpp) — ~10x the
+    numpy argpartition recursion on the single-core host (0.5 s vs 5 s at
+    5M points). Returns None when the toolchain is unavailable."""
+    if len(xy) < 100_000:
+        return None  # numpy path is instant at small sizes
+    try:
+        from pcp_tpu.native.build import load_points_library
+    except ImportError:
+        return None
+    lib = load_points_library()
+    if lib is None:
+        return None
+    import ctypes as ct
+
+    n = len(xy)
+    max_leaves = 1 << min(max_depth, 16)
+    xyf = np.ascontiguousarray(xy, np.float32)
+    order = np.empty(n, np.int64)
+    leaf_lo = np.empty(max_leaves, np.int64)
+    path = np.empty(max_leaves, np.uint32)
+    depth = np.empty(max_leaves, np.int32)
+    bounds = np.empty((max_leaves, 4), np.float32)
+    n_leaves = lib.bisect_xy(
+        xyf.ctypes.data_as(ct.POINTER(ct.c_float)), ct.c_int64(n),
+        ct.c_int64(threshold), ct.c_int(max_depth),
+        order.ctypes.data_as(ct.POINTER(ct.c_int64)),
+        leaf_lo.ctypes.data_as(ct.POINTER(ct.c_int64)),
+        path.ctypes.data_as(ct.POINTER(ct.c_uint32)),
+        depth.ctypes.data_as(ct.POINTER(ct.c_int32)),
+        bounds.ctypes.data_as(ct.POINTER(ct.c_float)),
+        ct.c_int(max_leaves),
+    )
+    if n_leaves <= 0:
+        return None
+    los = leaf_lo[:n_leaves]
+    his = np.r_[np.sort(los)[1:], n]
+    # leaf segments are contiguous in `order`; leaves already arrive in
+    # "0 before 1" DFS order so lo values are ascending
+    out = []
+    for k in range(n_leaves):
+        d = int(depth[k])
+        pid = "".join("1" if (int(path[k]) >> j) & 1 else "0"
+                      for j in range(d)) or "0"
+        b = bounds[k]
+        out.append((
+            pid, order[int(los[k]):int(his[k])].copy(),
+            Box2D(float(b[0]), float(b[1]), float(b[2]), float(b[3])),
+        ))
     out.sort(key=lambda t: t[0])
     return out
 

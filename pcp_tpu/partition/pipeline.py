@@ -3,8 +3,10 @@
 Reference: shen_partition_utils.py:13-126 `ProgressiveDataPartitioning.
 run_DataPartition` — outlier removal -> balanced bisection -> box expansion
 -> camera assignment -> visibility filter -> export. Every stage here is a
-vectorized array program (SURVEY §7 step 2); the reference spends minutes in
-Python/thread loops, this partitions a 5M-point cloud in seconds.
+vectorized or C++-native program (SURVEY §7 step 2); the reference spends
+minutes in Python/thread loops, this partitions a 5M-point / 500-camera
+cloud in under 7 s on a single-core host (tools/partition_bench.py,
+PARTITION_BENCH.json — BASELINE target < 10 s).
 """
 
 from __future__ import annotations
@@ -81,8 +83,21 @@ class ProgressiveDataPartitioning:
         cfg = self.cfg
         scene = self.scene
         t0 = time.time()
-        kept = self.filter_points()
-        pts = scene.points[kept]
+        if cfg.remove_outliers and len(scene.points):
+            from pcp_tpu.partition.points import compact_by_mask
+
+            keep = radius_outlier_removal(
+                scene.points, nb_points=cfg.outlier_nb_points,
+                radius=cfg.outlier_radius,
+            )
+            if keep.sum() < max(10, 0.01 * len(scene.points)):
+                kept = np.arange(len(scene.points))
+                pts = scene.points
+            else:
+                pts, kept = compact_by_mask(scene.points, keep)
+        else:
+            kept = np.arange(len(scene.points))
+            pts = scene.points
 
         leaves = balanced_bisection(pts[:, :2], cfg.threshold, cfg.max_depth)
 
@@ -111,16 +126,16 @@ class ProgressiveDataPartitioning:
                 )
             )
 
-        # visibility filter (shen_partation_densify.py:911-954)
+        # visibility filter (shen_partation_densify.py:911-954). The
+        # reference voxel-downsamples first purely to cut projection cost
+        # (:928); select_cameras_by_visibility decimates to directional
+        # hull support points internally, which subsumes that (and is
+        # ~100x smaller), so no pre-downsample here.
         for rec in records:
             block_pts = scene.points[rec.point_indices]
-            if len(block_pts) > 0:
-                down = voxel_downsample(block_pts, cfg.voxel_size)
-            else:
-                down = block_pts
             cands = [scene.cameras[u] for u in rec.camera_uids]
             rec.camera_uids = select_cameras_by_visibility(
-                down, cands, threshold=cfg.visible_rate
+                block_pts, cands, threshold=cfg.visible_rate
             )
 
         self.records = records

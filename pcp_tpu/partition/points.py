@@ -159,6 +159,35 @@ def _radius_outlier_native(points: np.ndarray, nb_points: int,
     return keep.astype(bool)
 
 
+def compact_by_mask(points: np.ndarray, mask: np.ndarray):
+    """(points[mask], flatnonzero(mask)) in one native pass — numpy fancy
+    indexing costs ~4 s at 5M points on the single-core host."""
+    try:
+        from pcp_tpu.native.build import load_points_library
+
+        lib = load_points_library()
+    except ImportError:
+        lib = None
+    if lib is None:
+        idx = np.flatnonzero(mask)
+        return points[idx], idx
+    import ctypes as ct
+
+    pts = np.ascontiguousarray(points, np.float32)
+    m = int(mask.sum())
+    out = np.empty((m, 3), np.float32)
+    idx = np.empty(m, np.int64)
+    lib.compact_points(
+        pts.ctypes.data_as(ct.POINTER(ct.c_float)),
+        np.ascontiguousarray(mask, np.uint8).ctypes.data_as(
+            ct.POINTER(ct.c_uint8)),
+        ct.c_int64(len(pts)),
+        out.ctypes.data_as(ct.POINTER(ct.c_float)),
+        idx.ctypes.data_as(ct.POINTER(ct.c_int64)),
+    )
+    return out, idx
+
+
 def radius_outlier_removal(
     points: np.ndarray, nb_points: int = 5, radius: float = 1.0
 ) -> np.ndarray:

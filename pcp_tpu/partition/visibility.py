@@ -72,18 +72,27 @@ def _poly_area(poly: np.ndarray) -> float:
     return 0.5 * abs(np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1)))
 
 
-def hull_area_ratio(pix: np.ndarray, width: float, height: float) -> float:
+def hull_area_ratio(pix: np.ndarray, width: float, height: float,
+                    ordered: bool = False) -> float:
     """area(convexhull(pix) ∩ [0,W]x[0,H]) / (W*H) — run_graham_scan
-    semantics (graham_scan.py:31-105)."""
+    semantics (graham_scan.py:31-105).
+
+    ``ordered=True``: the points are hull support points in angular
+    direction order, i.e. already a convex polygon traversal — skip the
+    qhull call (~2 ms of overhead per camera that dominated the
+    partitioner at 500 cameras x 16 blocks)."""
     if len(pix) <= 3:
         return 0.0
-    from scipy.spatial import ConvexHull, QhullError
+    if ordered:
+        poly = pix
+    else:
+        from scipy.spatial import ConvexHull, QhullError
 
-    try:
-        hull = ConvexHull(pix)
-    except QhullError:
-        return 0.0
-    poly = pix[hull.vertices]
+        try:
+            hull = ConvexHull(pix)
+        except QhullError:
+            return 0.0
+        poly = pix[hull.vertices]
     for a, b, c in ((-1, 0, 0), (1, 0, width), (0, -1, 0), (0, 1, height)):
         poly = _clip_poly_halfplane(poly, a, b, c)
         if len(poly) == 0:
@@ -122,6 +131,36 @@ def _support_points(pix: np.ndarray, front: np.ndarray, k_dirs: int = 72):
 
 def _pow2(n: int) -> int:
     return 1 << max(4, (n - 1).bit_length())
+
+
+@functools.lru_cache(maxsize=2)
+def _fib_sphere(k: int) -> np.ndarray:
+    """(k, 3) roughly-uniform unit directions (Fibonacci sphere)."""
+    i = np.arange(k, dtype=np.float64) + 0.5
+    phi = np.arccos(1.0 - 2.0 * i / k)
+    theta = np.pi * (1.0 + 5.0 ** 0.5) * i
+    return np.stack(
+        [np.cos(theta) * np.sin(phi), np.sin(theta) * np.sin(phi),
+         np.cos(phi)], axis=1,
+    ).astype(np.float32)
+
+
+def _support_decimate_3d(points: np.ndarray, k_dirs: int = 128,
+                         max_scan: int = 65536) -> np.ndarray:
+    """Unique 3-D directional support points (approximate hull vertices).
+
+    The (N, K) score matrix is the cost (640 MB / 15 s at 1.25M points on
+    this host), so directions scan a strided <=``max_scan`` subsample; the
+    six exact per-axis extremes of the FULL cloud are appended so the
+    bounding box stays tight regardless of the stride."""
+    sub = points[:: max(1, len(points) // max_scan)]
+    dirs = _fib_sphere(k_dirs)
+    scores = sub.astype(np.float32) @ dirs.T           # (n_sub, K)
+    idx = np.unique(np.argmax(scores, axis=0))
+    axis_ext = np.concatenate(
+        [points[points.argmin(axis=0)], points[points.argmax(axis=0)]]
+    )
+    return np.concatenate([sub[idx], axis_ext])
 
 
 
@@ -202,23 +241,20 @@ def select_cameras_by_visibility(
     cys = np.array([c.height / 2.0 for c in cameras], np.float32)
     block_points = np.ascontiguousarray(block_points, np.float32)
 
-    # Reduce the cloud to its 3-D convex-hull vertices: a perspective
-    # projection maps a convex polytope to the convex hull of its vertex
-    # projections (all-in-front case), so per-camera hull areas only need
-    # the ~10^2-10^3 hull vertices, not the 10^5-point cloud. Cameras with
-    # vertices behind the near plane get a slightly conservative area
-    # (behind vertices are masked) — those cameras sit inside the block
-    # and pass the threshold anyway. This keeps the whole filter on the
-    # single-core host at ~0.5 s/block where full-cloud scans cost
-    # 3.7 s/block (numpy) or a minute of remote compile (accelerator).
+    # Reduce the cloud to ~10^2 directional support points of its 3-D hull:
+    # a perspective projection maps a convex polytope to the hull of its
+    # vertex projections (all-in-front case), so per-camera hull areas only
+    # need extreme points, not the 10^5-point cloud. 128 Fibonacci-sphere
+    # directions bound the hull within a sub-percent area error; cameras
+    # with support points behind the near plane get a slightly conservative
+    # area (masked) — those sit inside the block and pass the threshold
+    # anyway. Keeps the whole filter at ~0.2 s/block on the single-core
+    # host where full-cloud scans cost 3.7 s/block (numpy) or a minute of
+    # remote compile (accelerator), and subsumes the reference's
+    # voxel-downsample-before-projecting speed hack
+    # (shen_partation_densify.py:928).
     if len(block_points) > 1024:
-        try:
-            from scipy.spatial import ConvexHull, QhullError
-
-            hull3 = ConvexHull(block_points)
-            block_points = block_points[hull3.vertices]
-        except (QhullError, ValueError):
-            pass
+        block_points = _support_decimate_3d(block_points)
 
     kept: List[int] = []
     for s in range(0, len(cameras), cam_batch):
@@ -228,9 +264,21 @@ def select_cameras_by_visibility(
             focals[sl, 0], focals[sl, 1], cxs[sl], cys[sl],
         )
         support, n_front = _support_points(pix, front)
+        # vectorized bbox pre-reject: the support bbox OVERestimates the
+        # hull, so bbox∩rect below threshold certainly rejects
+        bx0 = np.maximum(support[..., 0].min(axis=1), 0.0)
+        by0 = np.maximum(support[..., 1].min(axis=1), 0.0)
+        ws = np.array([c.width for c in cameras[sl]], np.float32)
+        hs = np.array([c.height for c in cameras[sl]], np.float32)
+        bx1 = np.minimum(support[..., 0].max(axis=1), ws)
+        by1 = np.minimum(support[..., 1].max(axis=1), hs)
+        bbox_ratio = (
+            np.maximum(bx1 - bx0, 0.0) * np.maximum(by1 - by0, 0.0)
+        ) / (ws * hs)
         for k, cam in enumerate(cameras[sl]):
-            if n_front[k] <= 3:
+            if n_front[k] <= 3 or bbox_ratio[k] < threshold:
                 continue
-            if hull_area_ratio(support[k], cam.width, cam.height) >= threshold:
+            if hull_area_ratio(support[k], cam.width, cam.height,
+                               ordered=True) >= threshold:
                 kept.append(cam.uid)
     return kept
