@@ -61,13 +61,10 @@ PP = int(_os.environ.get("PCP_PP", "256"))
            # pixel slice per backward grid step: = P (no slicing), so each
            # att block is DMA'd ONCE per chunk — PP=128 re-read every block
            # and measured 2.2x slower (90 ms vs 41 ms fwd+bwd at 2M pairs).
-           # NOTE: PP=256 requires USE_MXU_SCANS (the roll-scan scratch
-           # blows the 16 MB VMEM budget at full tile width).
 
-# Front-to-back scans along the slot axis as ONE triangular matmul on the
-# MXU (cumsum) instead of log2(CH)=7 masked-roll VPU passes; products go
-# through exp(cumsum(log)). (1 - alpha) >= 1 - ALPHA_MAX = 0.01 keeps the
-# logs bounded. Toggle for A/B timing.
+# Slot-axis scans as triangular matmuls on the MXU (bf16x3-compensated,
+# see _mxu_cumsum) instead of log2(CH)=7 masked-roll VPU passes: ~+1
+# iters/s end to end. PCP_MXU_SCANS=0 falls back to exact f32 roll scans.
 USE_MXU_SCANS = _os.environ.get("PCP_MXU_SCANS", "1") == "1"
 
 
@@ -84,13 +81,37 @@ def _tri(inclusive: bool, reverse: bool):
     return m.astype(jnp.float32)
 
 
+def _trunc_bf16(x):
+    """Truncate an f32 to its nearest-below bf16-representable value."""
+    return jax.lax.bitcast_convert_type(
+        jax.lax.bitcast_convert_type(x, jnp.uint32) & jnp.uint32(0xFFFF0000),
+        jnp.float32,
+    )
+
+
 def _mxu_cumsum(x, reverse=False):
-    """Inclusive cumsum along the last axis of (TB, P, CH) via the MXU."""
+    """Inclusive cumsum along the last axis of (TB, P, CH) via the MXU.
+
+    Mosaic truncates MXU inputs to bf16 regardless of Precision flags
+    (measured: 3e-3 image error on real-chip parity), so the input splits
+    into THREE bf16-exact components (hi + mid + lo = x to ~2^-24
+    relative); each multiplies the 0/1 triangular matrix losslessly and
+    the f32 accumulator adds them back — bf16x3 emulated f32, ~5e-7 end
+    error on the summed logs, at 3 trivially-small matmuls.
+    """
     t = _tri(True, reverse)
     shp = x.shape
-    return jnp.dot(
-        x.reshape(-1, CH), t, preferred_element_type=jnp.float32
-    ).reshape(shp)
+    x2 = x.reshape(-1, CH)
+    hi = _trunc_bf16(x2)
+    rem = x2 - hi
+    mid = _trunc_bf16(rem)
+    lo = rem - mid
+    y = (
+        jnp.dot(hi, t, preferred_element_type=jnp.float32)
+        + jnp.dot(mid, t, preferred_element_type=jnp.float32)
+        + jnp.dot(lo, t, preferred_element_type=jnp.float32)
+    )
+    return y.reshape(shp)
 
 
 def _mxu_cumprod(x, reverse=False):
@@ -254,55 +275,62 @@ def _fwd_kernel(att, color_ref, tfin_ref, ncontrib_ref,
         nc_scr[:] = jnp.zeros_like(nc_scr)
         color_ref[:] = jnp.zeros_like(color_ref)
 
-    a = att[:]
-    px, py = _pix_coords(i, tiles_x)
-    alpha, _, _ = _local_alpha(
-        _row(a, _I_MX), _row(a, _I_MY), _row(a, _I_CA), _row(a, _I_CB),
-        _row(a, _I_CC), _row(a, _I_OP), _row(a, _I_VALID), px, py,
-    )
+    # Early chunk exit (renderCUDA's per-warp termination analog,
+    # forward.cu:298-301): once every pixel of the block is done, later
+    # chunks contribute nothing — skip their compute entirely (the att DMA
+    # already happened; the VPU/MXU work is what this saves). On saturated
+    # scenes T collapses after ~1-2 chunks of 4.
+    @pl.when(jnp.min(d_scr[:]) < 0.5)
+    def _compute():
+        a = att[:]
+        px, py = _pix_coords(i, tiles_x)
+        alpha, _, _ = _local_alpha(
+            _row(a, _I_MX), _row(a, _I_MY), _row(a, _I_CA), _row(a, _I_CB),
+            _row(a, _I_CC), _row(a, _I_OP), _row(a, _I_VALID), px, py,
+        )
 
-    trans_in = t_scr[:]                                   # (TB, P)
-    if USE_MXU_SCANS:
-        prod_raw = _mxu_cumprod(1.0 - alpha)              # (TB, P, CH)
-    else:
-        prod_raw = _cumprod_slots(1.0 - alpha, scan_scr)
-    t_after_raw = trans_in[:, :, None] * prod_raw
-    # prod_raw is monotonically non-increasing (factors <= 1), so the sticky
-    # stop needs NO scan: done at slot k iff T after k would be < eps.
-    # (i1 minor-dim broadcast unsupported: compare the f32 flag in 3D.)
-    done_k = (d_scr[:][:, :, None] > 0.5) | (t_after_raw < T_EPS)
-    alpha = jnp.where(done_k, 0.0, alpha)
-    # cumprod of the MASKED alphas == prod_raw frozen at its last valid
-    # value (monotonic, masked factors are 1): a min-reduction, not a scan.
-    frozen = jnp.min(
-        jnp.where(done_k, 1.0, prod_raw), axis=2, keepdims=True
-    )
-    prod_incl = jnp.where(done_k, frozen, prod_raw)
-    t_excl = trans_in[:, :, None] * _shift_right_one(prod_incl, 1.0)
-    w = alpha * t_excl                                    # (TB, P, CH)
+        trans_in = t_scr[:]                               # (TB, P)
+        if USE_MXU_SCANS:
+            prod_raw = _mxu_cumprod(1.0 - alpha)          # (TB, P, CH)
+        else:
+            prod_raw = _cumprod_slots(1.0 - alpha, scan_scr)
+        t_after_raw = trans_in[:, :, None] * prod_raw
+        # prod_raw is monotonically non-increasing (factors <= 1), so the
+        # sticky stop needs NO scan: done at slot k iff T after k would be
+        # < eps. (i1 minor-dim broadcast unsupported: compare f32 in 3D.)
+        done_k = (d_scr[:][:, :, None] > 0.5) | (t_after_raw < T_EPS)
+        alpha = jnp.where(done_k, 0.0, alpha)
+        # cumprod of the MASKED alphas == prod_raw frozen at its last valid
+        # value (monotonic, masked factors are 1): a min-reduction, no scan.
+        frozen = jnp.min(
+            jnp.where(done_k, 1.0, prod_raw), axis=2, keepdims=True
+        )
+        prod_incl = jnp.where(done_k, frozen, prod_raw)
+        t_excl = trans_in[:, :, None] * _shift_right_one(prod_incl, 1.0)
+        w = alpha * t_excl                                # (TB, P, CH)
 
-    color_ref[:] = color_ref[:] + jnp.stack(
-        [
-            jnp.sum(w * _row(a, _I_R)[:, None, :], axis=2),
-            jnp.sum(w * _row(a, _I_G)[:, None, :], axis=2),
-            jnp.sum(w * _row(a, _I_B)[:, None, :], axis=2),
-        ],
-        axis=1,
-    )
+        color_ref[:] = color_ref[:] + jnp.stack(
+            [
+                jnp.sum(w * _row(a, _I_R)[:, None, :], axis=2),
+                jnp.sum(w * _row(a, _I_G)[:, None, :], axis=2),
+                jnp.sum(w * _row(a, _I_B)[:, None, :], axis=2),
+            ],
+            axis=1,
+        )
 
-    # last applied slot + 1, global over chunks (CUDA last_contributor)
-    applied = alpha > 0.0
-    slot1 = (
-        c_idx * CH
-        + jax.lax.broadcasted_iota(jnp.int32, alpha.shape, 2)
-        + 1
-    ).astype(jnp.float32)
-    nc_scr[:] = jnp.maximum(
-        nc_scr[:], jnp.max(jnp.where(applied, slot1, 0.0), axis=2)
-    )
+        # last applied slot + 1, global over chunks (CUDA last_contributor)
+        applied = alpha > 0.0
+        slot1 = (
+            c_idx * CH
+            + jax.lax.broadcasted_iota(jnp.int32, alpha.shape, 2)
+            + 1
+        ).astype(jnp.float32)
+        nc_scr[:] = jnp.maximum(
+            nc_scr[:], jnp.max(jnp.where(applied, slot1, 0.0), axis=2)
+        )
 
-    t_scr[:] = trans_in * _last_slot(prod_incl)
-    d_scr[:] = _last_slot(done_k.astype(jnp.float32))
+        t_scr[:] = trans_in * _last_slot(prod_incl)
+        d_scr[:] = _last_slot(done_k.astype(jnp.float32))
 
     @pl.when(c_idx == pl.num_programs(1) - 1)
     def _():
@@ -332,6 +360,21 @@ def _bwd_kernel(att, gcolor, gtfin, tfin, ncontrib,
     def _():
         datt[:] = jnp.zeros_like(datt)
 
+    # Early chunk exit: slots at or past every pixel's n_contrib received
+    # no forward contribution, so their alphas mask to zero — the whole
+    # chunk's gradient is zero and the (T, S) carries pass through
+    # unchanged (suffix == 1, csuf == 0). Skip the compute.
+    chunk_live = jnp.float32(c_idx * CH) < jnp.max(ncontrib[:])
+
+    @pl.when(chunk_live)
+    def _compute():
+        _bwd_chunk_body(att, gcolor, gtfin, tfin, ncontrib, datt, t_scr,
+                        s_scr, scan1, scan2, i, c_idx, p_idx, tiles_x)
+
+
+def _bwd_chunk_body(att, gcolor, gtfin, tfin, ncontrib, datt, t_scr, s_scr,
+                    scan1, scan2, i, c_idx, p_idx, tiles_x):
+    psl = pl.ds(p_idx * PP, PP)
     at = att[:]
     px, py = _pix_coords_slice(i, p_idx, tiles_x)
     alpha, dx, dy = _local_alpha(
@@ -400,6 +443,159 @@ def _bwd_kernel(att, gcolor, gtfin, tfin, ncontrib,
     s_scr[:, psl] = s_scr[:, psl] + first(csuf)
 
 
+# One grid step per tile block with an UNROLLED internal chunk loop (the
+# whole (TB, NA, K) attribute block VMEM-resident) instead of a chunk grid
+# axis: 4x fewer grid steps — per-step fixed overhead was a large slice of
+# kernel time at ~950 steps.
+FUSED_CHUNKS = _os.environ.get("PCP_FUSED_CHUNKS", "0") == "1"
+
+
+def _fwd_kernel_fused(att, color_ref, tfin_ref, ncontrib_ref,
+                      t_scr, d_scr, nc_scr, *, tiles_x, n_chunks):
+    i = pl.program_id(0)
+    px, py = _pix_coords(i, tiles_x)
+    t_scr[:] = jnp.ones_like(t_scr)
+    d_scr[:] = jnp.zeros_like(d_scr)
+    nc_scr[:] = jnp.zeros_like(nc_scr)
+    color_ref[:] = jnp.zeros_like(color_ref)
+
+    def chunk_step(c_idx, _):
+        # fori_loop (not Python unroll): Mosaic's stack allocator keeps
+        # unrolled iterations' temporaries live simultaneously and blows
+        # the 16 MB VMEM budget; a loop body reuses one set of buffers.
+        @pl.when(jnp.min(d_scr[:]) < 0.5)
+        def _compute():
+            a = att[:, :, pl.ds(c_idx * CH, CH)]
+            alpha, _, _ = _local_alpha(
+                _row(a, _I_MX), _row(a, _I_MY), _row(a, _I_CA),
+                _row(a, _I_CB), _row(a, _I_CC), _row(a, _I_OP),
+                _row(a, _I_VALID), px, py,
+            )
+            trans_in = t_scr[:]
+            if USE_MXU_SCANS:
+                prod_raw = _mxu_cumprod(1.0 - alpha)
+            else:
+                prod_raw = _cumprod_slots(1.0 - alpha)
+            t_after_raw = trans_in[:, :, None] * prod_raw
+            done_k = (d_scr[:][:, :, None] > 0.5) | (t_after_raw < T_EPS)
+            alpha = jnp.where(done_k, 0.0, alpha)
+            frozen = jnp.min(
+                jnp.where(done_k, 1.0, prod_raw), axis=2, keepdims=True
+            )
+            prod_incl = jnp.where(done_k, frozen, prod_raw)
+            t_excl = trans_in[:, :, None] * _shift_right_one(prod_incl, 1.0)
+            w = alpha * t_excl
+
+            color_ref[:] = color_ref[:] + jnp.stack(
+                [
+                    jnp.sum(w * _row(a, _I_R)[:, None, :], axis=2),
+                    jnp.sum(w * _row(a, _I_G)[:, None, :], axis=2),
+                    jnp.sum(w * _row(a, _I_B)[:, None, :], axis=2),
+                ],
+                axis=1,
+            )
+            applied = alpha > 0.0
+            slot1 = (
+                c_idx * CH
+                + jax.lax.broadcasted_iota(jnp.int32, alpha.shape, 2) + 1
+            ).astype(jnp.float32)
+            nc_scr[:] = jnp.maximum(
+                nc_scr[:], jnp.max(jnp.where(applied, slot1, 0.0), axis=2)
+            )
+            t_scr[:] = trans_in * _last_slot(prod_incl)
+            d_scr[:] = _last_slot(done_k.astype(jnp.float32))
+
+        return 0
+
+    jax.lax.fori_loop(0, n_chunks, chunk_step, 0)
+    tfin_ref[:] = t_scr[:]
+    ncontrib_ref[:] = nc_scr[:]
+
+
+def _bwd_kernel_fused(att, gcolor, gtfin, tfin, ncontrib, datt,
+                      t_scr, s_scr, *, tiles_x, n_chunks):
+    i = pl.program_id(0)
+    px, py = _pix_coords(i, tiles_x)
+    t_scr[:] = tfin[:]
+    s_scr[:] = tfin[:] * gtfin[:]
+    gC = gcolor[:]
+    nc_max = jnp.max(ncontrib[:])
+
+    def chunk_step(c_rev, _):
+        c_idx = n_chunks - 1 - c_rev
+        ksl = pl.ds(c_idx * CH, CH)
+        datt[:, :, ksl] = jnp.zeros((TB, NA, CH), jnp.float32)
+
+        @pl.when((c_idx * CH).astype(jnp.float32) < nc_max)
+        def _compute():
+            at = att[:, :, ksl]
+            alpha, dx, dy = _local_alpha(
+                _row(at, _I_MX), _row(at, _I_MY), _row(at, _I_CA),
+                _row(at, _I_CB), _row(at, _I_CC), _row(at, _I_OP),
+                _row(at, _I_VALID), px, py,
+            )
+            slot = (
+                c_idx * CH
+                + jax.lax.broadcasted_iota(jnp.int32, alpha.shape, 2)
+            ).astype(jnp.float32)
+            alpha = jnp.where(slot < ncontrib[:][:, :, None], alpha, 0.0)
+
+            t_end = t_scr[:]
+            if USE_MXU_SCANS:
+                suffix = _mxu_cumprod(1.0 - alpha, reverse=True)
+            else:
+                suffix = _cumprod_slots_rev(1.0 - alpha)
+            t_excl = t_end[:, :, None] / suffix
+            w = alpha * t_excl
+
+            rgb_dot_g = (
+                _row(at, _I_R)[:, None, :] * _gc_row(gC, 0)
+                + _row(at, _I_G)[:, None, :] * _gc_row(gC, 1)
+                + _row(at, _I_B)[:, None, :] * _gc_row(gC, 2)
+            )
+            contrib = w * rgb_dot_g
+            if USE_MXU_SCANS:
+                csuf = _mxu_cumsum(contrib, reverse=True)
+            else:
+                csuf = _cumsum_slots_rev(contrib)
+            s_k = csuf - contrib + s_scr[:][:, :, None]
+
+            denom = jnp.maximum(1.0 - alpha, 1.0 - ALPHA_MAX)
+            dalpha = t_excl * rgb_dot_g - s_k / denom
+            dalpha = jnp.where(alpha > 0.0, dalpha, 0.0)
+
+            opb = jnp.maximum(_row(at, _I_OP)[:, None, :], ALPHA_MIN)
+            g_val = alpha / opb
+            unclamped = alpha < ALPHA_MAX
+            dop_pix = jnp.where(unclamped, dalpha * g_val, 0.0)
+            dpower = jnp.where(unclamped, dalpha * alpha, 0.0)
+
+            ca3 = _row(at, _I_CA)[:, None, :]
+            cb3 = _row(at, _I_CB)[:, None, :]
+            cc3 = _row(at, _I_CC)[:, None, :]
+            zero = jnp.zeros((dx.shape[0], 1, dx.shape[2]), jnp.float32)
+            planes = [
+                jnp.sum(dpower * (ca3 * dx + cb3 * dy), axis=1)[:, None, :],
+                jnp.sum(dpower * (cc3 * dy + cb3 * dx), axis=1)[:, None, :],
+                jnp.sum(dpower * (-0.5 * dx * dx), axis=1)[:, None, :],
+                jnp.sum(dpower * (-dx * dy), axis=1)[:, None, :],
+                jnp.sum(dpower * (-0.5 * dy * dy), axis=1)[:, None, :],
+                jnp.sum(w * _gc_row(gC, 0), axis=1)[:, None, :],
+                jnp.sum(w * _gc_row(gC, 1), axis=1)[:, None, :],
+                jnp.sum(w * _gc_row(gC, 2), axis=1)[:, None, :],
+                jnp.sum(dop_pix, axis=1)[:, None, :],
+            ] + [zero] * (NA - 9)
+            datt[:, :, ksl] = jnp.concatenate(planes, axis=1)
+
+            first = lambda x: jax.lax.slice_in_dim(x, 0, 1, axis=2)[:, :, 0]
+            t_scr[:] = t_end / first(suffix)
+            s_scr[:] = s_scr[:] + first(csuf)
+
+        return 0
+
+    jax.lax.fori_loop(0, n_chunks, chunk_step, 0)
+
+
 def _specs(n_chunks, reverse=False):
     """index_map returns BLOCK indices (units of the block shape)."""
 
@@ -436,6 +632,37 @@ def _fwd(att, tiles_x):
     n_chunks = k // CH
     att_map, per_tile2, per_tile3 = _specs(n_chunks)
     v = pltpu.VMEM
+    if FUSED_CHUNKS:
+        return pl.pallas_call(
+            functools.partial(_fwd_kernel_fused, tiles_x=tiles_x,
+                              n_chunks=n_chunks),
+            grid=(nt // TB,),
+            in_specs=[pl.BlockSpec((TB, NA, k), lambda i: (i, 0, 0),
+                                   memory_space=v)],
+            out_specs=(
+                pl.BlockSpec((TB, 3, P), lambda i: (i, 0, 0), memory_space=v),
+                pl.BlockSpec((TB, P), lambda i: (i, 0), memory_space=v),
+                pl.BlockSpec((TB, P), lambda i: (i, 0), memory_space=v),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((nt, 3, P), jnp.float32),
+                jax.ShapeDtypeStruct((nt, P), jnp.float32),
+                jax.ShapeDtypeStruct((nt, P), jnp.float32),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((TB, P), jnp.float32),
+                pltpu.VMEM((TB, P), jnp.float32),
+                pltpu.VMEM((TB, P), jnp.float32),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",),
+                # the 16 MB scoped-vmem default is a soft limit; v5e has
+                # 128 MB physical VMEM and the fused body's temporaries
+                # need ~24 MB
+                vmem_limit_bytes=64 * 1024 * 1024,
+            ),
+            interpret=INTERPRET,
+        )(att)
     color, tfin, ncontrib = pl.pallas_call(
         functools.partial(_fwd_kernel, tiles_x=tiles_x),
         grid=(nt // TB, n_chunks),
@@ -458,6 +685,7 @@ def _fwd(att, tiles_x):
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=64 * 1024 * 1024,
         ),
         interpret=INTERPRET,
     )(att)
@@ -475,6 +703,36 @@ def _composite_bwd(tiles_x, res, cot):
     nt, na, k = att.shape
     n_chunks = k // CH
     v = pltpu.VMEM
+
+    if FUSED_CHUNKS and PP == P:
+        datt = pl.pallas_call(
+            functools.partial(_bwd_kernel_fused, tiles_x=tiles_x,
+                              n_chunks=n_chunks),
+            grid=(nt // TB,),
+            in_specs=[
+                pl.BlockSpec((TB, NA, k), lambda i: (i, 0, 0), memory_space=v),
+                pl.BlockSpec((TB, 3, P), lambda i: (i, 0, 0), memory_space=v),
+                pl.BlockSpec((TB, P), lambda i: (i, 0), memory_space=v),
+                pl.BlockSpec((TB, P), lambda i: (i, 0), memory_space=v),
+                pl.BlockSpec((TB, P), lambda i: (i, 0), memory_space=v),
+            ],
+            out_specs=pl.BlockSpec((TB, NA, k), lambda i: (i, 0, 0),
+                                   memory_space=v),
+            out_shape=jax.ShapeDtypeStruct((nt, NA, k), jnp.float32),
+            scratch_shapes=[
+                pltpu.VMEM((TB, P), jnp.float32),
+                pltpu.VMEM((TB, P), jnp.float32),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",),
+                # the 16 MB scoped-vmem default is a soft limit; v5e has
+                # 128 MB physical VMEM and the fused body's temporaries
+                # need ~24 MB
+                vmem_limit_bytes=64 * 1024 * 1024,
+            ),
+            interpret=INTERPRET,
+        )(att, gcolor, gtfin, tfin, ncontrib)
+        return (datt,)
 
     def att_map(i, c, p):
         return (i, 0, n_chunks - 1 - c)
@@ -505,6 +763,7 @@ def _composite_bwd(tiles_x, res, cot):
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+            vmem_limit_bytes=64 * 1024 * 1024,
         ),
         interpret=INTERPRET,
     )(att, gcolor, gtfin, tfin, ncontrib)
