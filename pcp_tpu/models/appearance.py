@@ -20,6 +20,13 @@ import jax.numpy as jnp
 NUM_EMBEDDINGS = 2048
 EMBED_DIM = 64
 
+# Optional bfloat16 CNN compute (params stay f32; output cast back). OFF
+# by default: measured no end-to-end gain on TPU (10.73 vs 10.76 iters/s)
+# — the net is not conv-throughput-bound — so keep reference-exact f32.
+import os as _os
+
+APP_BF16 = _os.environ.get("PCP_APP_BF16", "0") == "1"
+
 
 def _pixel_shuffle(x: jnp.ndarray, r: int = 2) -> jnp.ndarray:
     """(B, H, W, C*r^2) -> (B, H*r, W*r, C), torch PixelShuffle semantics."""
@@ -116,5 +123,13 @@ def decouple_appearance(image: jnp.ndarray, app_params, view_idx) -> jnp.ndarray
     emb = app_params["embeddings"][view_idx]
     emb_map = jnp.broadcast_to(emb[None, None, None, :], (1, hd, wd, EMBED_DIM))
     x = jnp.concatenate([down, emb_map], axis=-1)
-    mapping = AppearanceNetwork().apply({"params": app_params["net"]}, x, h, w)[0]
+    net_params = app_params["net"]
+    # bf16 only where it pays: CPU (the test backend) emulates bf16 slowly
+    if APP_BF16 and jax.default_backend() == "tpu":
+        x = x.astype(jnp.bfloat16)
+        net_params = jax.tree_util.tree_map(
+            lambda p: p.astype(jnp.bfloat16), net_params
+        )
+    mapping = AppearanceNetwork().apply({"params": net_params}, x, h, w)[0]
+    mapping = mapping.astype(jnp.float32)
     return mapping * image, mapping
