@@ -24,7 +24,7 @@ from pcp_tpu.partition.export import (
     save_partition_data,
     save_test_cameras,
 )
-from pcp_tpu.partition.points import radius_outlier_removal, voxel_downsample
+from pcp_tpu.partition.points import radius_outlier_removal
 from pcp_tpu.partition.types import Box2D, PartitionRecord
 from pcp_tpu.partition.visibility import select_cameras_by_visibility
 from pcp_tpu.scene.dataset import SceneInfo, split_train_test
