@@ -1,7 +1,15 @@
 """Full-state checkpoints: the reference's `torch.save((capture(), iter))`
-(train.py:160-162, gaussian_model.py:68-100) as a flat npz of the TrainState
-pytree. Restores exactly (params, appearance, both Adam states, alive mask,
-densify accumulators)."""
+(train.py:160-162, gaussian_model.py:68-100) in two interchangeable
+backends:
+
+- flat npz (default): single portable file, exact round-trip;
+- orbax (SURVEY §5's TPU-native equivalent): async-capable, sharding-aware
+  directory checkpoints — the right choice for multi-host fleets where
+  every process must write its own shard. Selected by path convention:
+  a path ending in ``.npz`` uses npz, anything else uses orbax.
+
+Both restore exactly (params, appearance, both Adam states, alive mask,
+densify accumulators) with leaf count/shape validation."""
 
 from __future__ import annotations
 
@@ -18,14 +26,44 @@ def _flatten(state) -> Tuple[dict, "jax.tree_util.PyTreeDef"]:
 
 
 def save(path: str, state, iteration: int) -> None:
+    if not path.endswith(".npz"):
+        return _save_orbax(path, state, iteration)
     arrs, _ = _flatten(state)
     arrs["__iteration__"] = np.asarray(iteration)
     np.savez_compressed(path, **arrs)
 
 
+def _save_orbax(path: str, state, iteration: int) -> None:
+    import os
+
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(
+            os.path.abspath(path),
+            {"state": state, "iteration": np.asarray(iteration)},
+            force=True,
+        )
+
+
+def _load_orbax(path: str, template) -> Tuple[object, int]:
+    import os
+
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as ckptr:
+        restored = ckptr.restore(
+            os.path.abspath(path),
+            {"state": template, "iteration": np.asarray(0)},
+        )
+    return restored["state"], int(restored["iteration"])
+
+
 def load(path: str, template) -> Tuple[object, int]:
     """``template`` is a TrainState with the right structure/shapes (e.g. a
     freshly initialised one); returns (state, iteration)."""
+    if not path.endswith(".npz"):
+        return _load_orbax(path, template)
     data = np.load(path)
     iteration = int(data["__iteration__"])
     leaves, treedef = jax.tree_util.tree_flatten(template)

@@ -149,3 +149,36 @@ def test_debug_mode_dumps_on_nan(scene_dir, tmp_path):
     data = np.load(dumps[0])
     assert "gt_image" in data and "viewmat" in data
     assert any(k.startswith("state_leaf_") for k in data.files)
+
+
+def test_checkpoint_orbax_roundtrip(scene_dir, tmp_path):
+    """Orbax backend (path without .npz) restores the full TrainState
+    exactly, like the npz backend."""
+    import jax
+    import numpy as np
+
+    from pcp_tpu.scene import load_colmap_scene
+    from pcp_tpu.train import checkpoint as ckpt
+    from pcp_tpu.train.config import (
+        ModelConfig, OptimConfig, PipelineConfig, TrainRunConfig,
+    )
+    from pcp_tpu.train.loop import init_state
+
+    scene = load_colmap_scene(scene_dir)
+    cfg = TrainRunConfig(
+        model=ModelConfig(source_path=scene_dir, model_path=str(tmp_path),
+                          resolution=1, sh_degree=1),
+        optim=OptimConfig(iterations=1, capacity=128),
+        pipeline=PipelineConfig(use_appearance=True),
+    )
+    state = init_state(scene, cfg, (64, 48), jax.random.PRNGKey(7))
+    path = str(tmp_path / "ckpt_orbax")
+    ckpt.save(path, state, 1234)
+
+    template = init_state(scene, cfg, (64, 48), jax.random.PRNGKey(8))
+    restored, it = ckpt.load(path, template)
+    assert it == 1234
+    for got, want in zip(
+        jax.tree_util.tree_leaves(restored), jax.tree_util.tree_leaves(state)
+    ):
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
