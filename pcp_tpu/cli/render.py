@@ -20,6 +20,11 @@ def _find_merged_ply(model_path: str, iteration=None):
 
     it = iteration or search_max_iteration(pc_root)
     d = os.path.join(pc_root, f"iteration_{it}")
+    if not os.path.isdir(d) and os.path.exists(flat):
+        # a merged model has no per-iteration snapshots: --iteration after
+        # cli.merge should still find the flat point_cloud.ply
+        print(f"[render] no {d}; using merged {flat}")
+        return flat, "merged"
     for f in sorted(os.listdir(d)):
         if f.endswith(".ply"):
             return os.path.join(d, f), str(it)
