@@ -117,3 +117,24 @@ def test_cut_partition_knn_prefilter(tmp_path, rng):
     filt = cut_partition(p, box, knn_prefilter=True)
     assert len(plain["xyz"]) == m
     assert len(filt["xyz"]) == n  # outlier dropped
+
+
+def test_render_cli_iteration_falls_back_to_merged(tmp_path):
+    """render --iteration N on a merged model (flat point_cloud.ply, no
+    per-iteration snapshots) must use the merged cloud instead of failing."""
+    import numpy as np
+
+    from pcp_tpu.cli.render import _find_merged_ply
+    from pcp_tpu.models import gaussians as G
+
+    params, alive = G.create_from_pcd(
+        np.zeros((4, 3), np.float32) + np.arange(4)[:, None],
+        np.full((4, 3), 0.5, np.float32),
+        G.GaussianConfig(sh_degree=0, capacity=8),
+    )
+    ply = tmp_path / "point_cloud.ply"
+    G.save_gaussians_ply(str(ply), params, alive)
+
+    path, tag = _find_merged_ply(str(tmp_path), iteration=30000)
+    assert path == str(ply)
+    assert tag == "merged"
