@@ -48,7 +48,10 @@ def add_optim_args(p: argparse.ArgumentParser) -> None:
 def add_pipeline_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--convert_SHs_python", action="store_true")
     p.add_argument("--compute_cov3D_python", action="store_true")
-    p.add_argument("--debug", action="store_true")
+    p.add_argument("--debug", action="store_true",
+                   help="check loss finiteness every step; on first NaN dump "
+                        "step inputs to nan_snapshot_<it>.npz and abort "
+                        "(reference --detect_anomaly + snapshot dumps)")
     p.add_argument("--no_appearance", action="store_true")
 
 

@@ -23,7 +23,20 @@ def main(argv=None) -> None:
     p.add_argument("--max_depth", type=int, default=10)
     p.add_argument("--expansion_distance", type=float, default=80.0)
     p.add_argument("--point_expand_ratio", type=float, default=0.10)
-    p.add_argument("--visible_rate", type=float, default=0.45)
+    p.add_argument("--visible_rate", type=float, default=None,
+                   help="hull-area visibility threshold (default 0.45 for "
+                        "bisect/quadtree, 0.25 for camera_grid — the two "
+                        "reference generations' values)")
+    p.add_argument("--partitioner",
+                   choices=["bisect", "camera_grid", "quadtree"],
+                   default="bisect",
+                   help="bisect = live pipeline (shen_partition_utils.py); "
+                        "camera_grid = VastGaussian m x n camera grid "
+                        "(data_partition.py:35-557); quadtree = legacy "
+                        "4-way splitter (shen_partition.py:40-788)")
+    p.add_argument("--m_region", type=int, default=3)
+    p.add_argument("--n_region", type=int, default=3)
+    p.add_argument("--extend_rate", type=float, default=0.2)
     p.add_argument("--voxel_size", type=float, default=0.1)
     p.add_argument("--no_outlier_removal", action="store_true")
     p.add_argument("--no_plots", action="store_true")
@@ -47,6 +60,8 @@ def main(argv=None) -> None:
         keep_point_ids=True,
     )
     model_dir = args.model_dir or os.path.join(args.source_path, "model")
+    if args.visible_rate is None:
+        args.visible_rate = 0.25 if args.partitioner == "camera_grid" else 0.45
     cfg = PartitionConfig(
         threshold=args.threshold,
         max_depth=args.max_depth,
@@ -58,6 +73,10 @@ def main(argv=None) -> None:
         make_plots=not args.no_plots,
         copy_images=not args.no_copy_images,
         llffhold=args.llffhold,
+        partitioner=args.partitioner,
+        m_region=args.m_region,
+        n_region=args.n_region,
+        extend_rate=args.extend_rate,
     )
     records = run_partition(scene, model_dir, cfg)
     for r in records:

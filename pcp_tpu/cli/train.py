@@ -35,10 +35,6 @@ def main(argv=None) -> None:
     p.add_argument("--disable_viewer", action="store_true")
     p.add_argument("--profile", action="store_true",
                    help="write a jax.profiler trace under the model dir")
-    p.add_argument("--debug", action="store_true",
-                   help="check loss finiteness every step; on first NaN dump "
-                        "step inputs to nan_snapshot_<it>.npz and abort "
-                        "(reference --detect_anomaly + snapshot dumps)")
     args = p.parse_args(argv)
 
     from pcp_tpu.scene import load_scene

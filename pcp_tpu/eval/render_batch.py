@@ -7,6 +7,7 @@ dispatch. All cameras in a batch share one image size (group by size)."""
 
 from __future__ import annotations
 
+import functools
 from typing import List, Sequence
 
 import jax
@@ -16,6 +17,27 @@ import numpy as np
 from pcp_tpu.ops.projection import CameraIntrin
 from pcp_tpu.scene.cameras import Camera
 from pcp_tpu.train.step import render_gaussians
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("w", "h", "sh_degree", "max_per_tile", "max_pairs"),
+)
+def _render_batch(params, alive, background, viewmats, intrins, *, w, h,
+                  sh_degree, max_per_tile, max_pairs):
+    """Module-level jitted batch render: params/alive are ARGUMENTS, not
+    closure constants, so repeated eval calls over a run reuse ONE compiled
+    program per (image size, batch) instead of retracing each invocation
+    (each retrace costs a ~30-60 s remote compile on the real chip)."""
+
+    def one(viewmat, intrin):
+        img, _ = render_gaussians(
+            params, alive, viewmat, intrin, (w, h), background,
+            sh_degree, max_per_tile=max_per_tile, max_pairs=max_pairs,
+        )
+        return jnp.clip(img, 0.0, 1.0)
+
+    return jax.vmap(one)(viewmats, intrins)
 
 
 def render_views(
@@ -36,18 +58,11 @@ def render_views(
     assert len(sizes) == 1, f"one size per call, got {sizes}"
     w, h = next(iter(sizes))
     n = params["xyz"].shape[0]
-
-    @jax.jit
-    def render_batch(viewmats, intrins):
-        def one(viewmat, intrin):
-            img, _ = render_gaussians(
-                params, alive, viewmat, intrin, (w, h), background,
-                sh_degree, max_per_tile=max_per_tile,
-                max_pairs=pairs_per_gaussian * n,
-            )
-            return jnp.clip(img, 0.0, 1.0)
-
-        return jax.vmap(one)(viewmats, intrins)
+    render_batch = functools.partial(
+        _render_batch, params, alive, background, w=w, h=h,
+        sh_degree=sh_degree, max_per_tile=max_per_tile,
+        max_pairs=pairs_per_gaussian * n,
+    )
 
     out: List[np.ndarray] = []
     for s in range(0, len(cams), batch):

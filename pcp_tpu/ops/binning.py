@@ -128,7 +128,11 @@ def bin_gaussians(
 
     pair_bits = _ceil_log2(max_pairs)  # pair ranks are 0..max_pairs-1
     global FORCE_PAIR_SORT
-    if tile_bits + pair_bits <= 32 and not FORCE_PAIR_SORT:
+    # The fast path is only correct when pairs were expanded in global
+    # depth order (grouping by tile then preserves within-tile depth order);
+    # with PCP_DEPTH_ORDER=0 it must fall through to the keyed sort.
+    if tile_bits + pair_bits <= 32 and not FORCE_PAIR_SORT \
+            and DEPTH_ORDER_EXPANSION:
         # --- FAST PATH: ONE single-array uint32 sort of [tile | pair-rank].
         # Pairs are expanded in global near-to-far depth order, so a
         # grouping by tile that preserves pair order IS depth-sorted within

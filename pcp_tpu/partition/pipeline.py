@@ -51,6 +51,13 @@ class PartitionConfig:
     llffhold: int = 83
     make_plots: bool = True
     copy_images: bool = True
+    # partitioner family: "bisect" (live pipeline), "camera_grid"
+    # (VastGaussian m x n grid, data_partition.py:35-557), "quadtree"
+    # (first-generation 4-way splitter, shen_partition.py:40-788)
+    partitioner: str = "bisect"
+    m_region: int = 3                 # camera_grid knobs
+    n_region: int = 3                 # (arguments/__init__.py:69-72)
+    extend_rate: float = 0.2
 
 
 class ProgressiveDataPartitioning:
@@ -83,6 +90,34 @@ class ProgressiveDataPartitioning:
         cfg = self.cfg
         scene = self.scene
         t0 = time.time()
+        if cfg.partitioner == "camera_grid":
+            # VastGaussian family: balanced camera grid + border refine +
+            # airspace visibility, all inside run_camera_grid_partition.
+            # The legacy reference path does NOT outlier-filter first
+            # (data_partition.py:35-100) — kept faithful here.
+            from pcp_tpu.partition.camera_grid import (
+                CameraGridConfig,
+                run_camera_grid_partition,
+            )
+
+            records = run_camera_grid_partition(
+                scene,
+                CameraGridConfig(
+                    m_region=cfg.m_region,
+                    n_region=cfg.n_region,
+                    extend_rate=cfg.extend_rate,
+                    visible_rate=cfg.visible_rate,
+                ),
+            )
+            self.records = records
+            if cfg.make_plots:
+                self.plot()
+            print(
+                f"camera-grid partitioned {len(scene.points)} pts -> "
+                f"{len(records)} blocks in {time.time() - t0:.2f}s"
+            )
+            return records
+
         if cfg.remove_outliers and len(scene.points):
             from pcp_tpu.partition.points import compact_by_mask
 
@@ -99,13 +134,41 @@ class ProgressiveDataPartitioning:
             kept = np.arange(len(scene.points))
             pts = scene.points
 
-        leaves = balanced_bisection(pts[:, :2], cfg.threshold, cfg.max_depth)
+        if cfg.partitioner == "quadtree":
+            # first-generation 4-way splitter + statistics merge; its legacy
+            # expansion is a diagonal*rate/2 buffer (shen_partition.py:
+            # 232-274) applied to BOTH the camera and point boxes. Camera
+            # assignment + visibility then reuse the live stages below.
+            from pcp_tpu.partition.quadtree import (
+                filter_regions_by_point_count,
+                quad_tree_partition,
+            )
+
+            regions = filter_regions_by_point_count(
+                quad_tree_partition(pts[:, :2], cfg.threshold,
+                                    max_depth=cfg.max_depth),
+                cfg.threshold,
+            )
+            leaves = [
+                (r.region_id or "root", r.point_indices, r.bounds)
+                for r in regions
+            ]
+        else:
+            leaves = balanced_bisection(pts[:, :2], cfg.threshold,
+                                        cfg.max_depth)
 
         cam_xy = np.stack([c.center[:2] for c in scene.cameras]) if scene.cameras else np.zeros((0, 2))
         records: List[PartitionRecord] = []
         for pid, idx, box in leaves:
-            extend_box = box.expand_abs(cfg.expansion_distance)
-            point_box = box.expand_ratio(cfg.point_expand_ratio)
+            if cfg.partitioner == "quadtree":
+                diag = float(np.hypot(box.xmax - box.xmin,
+                                      box.ymax - box.ymin))
+                d = diag * cfg.extend_rate / 2.0
+                extend_box = box.expand_abs(d)
+                point_box = extend_box
+            else:
+                extend_box = box.expand_abs(cfg.expansion_distance)
+                point_box = box.expand_ratio(cfg.point_expand_ratio)
             pmask = point_box.contains(pts[:, :2])
             point_indices = kept[np.flatnonzero(pmask)]
 

@@ -203,9 +203,9 @@ def radius_outlier_removal(
     1. coarse cells of side ``radius``: if the 27-cell neighbourhood holds
        fewer than nb_points+1 points, the point is certainly an outlier
        (every neighbour within r lives in those cells);
-    2. fine cells of side ``radius``/sqrt(3) (cell diameter <= r): if the
-       point's own fine cell holds >= nb_points+1 points, it certainly
-       has enough neighbours;
+    2. fine cells of side ``radius``/4: if the 27-cell fine neighbourhood
+       (max inter-point gap 0.87r < r) holds >= nb_points+1 points, the
+       point certainly has enough neighbours;
     3. the (few) unresolved points get exact distance counts from a
        cKDTree built ONLY on the points in their coarse neighbourhoods.
     """

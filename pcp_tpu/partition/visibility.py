@@ -165,64 +165,6 @@ def _support_decimate_3d(points: np.ndarray, k_dirs: int = 128,
 
 
 
-@functools.lru_cache(maxsize=8)
-def _support_kernel(n_pad: int, c_pad: int, k_dirs: int):
-    """Jitted projection + directional-support extraction: the O(C*N*K)
-    masked-argmax work runs on the accelerator (the partition host may
-    have one CPU core; this loop was ~3.7 s per block in numpy)."""
-    import jax
-    import jax.numpy as jnp
-
-    ang = np.linspace(0.0, 2.0 * np.pi, k_dirs, endpoint=False)
-    dirs = np.stack([np.cos(ang), np.sin(ang)], axis=1).astype(np.float32)
-
-    @jax.jit
-    def run(points, pmask, Rs, ts, fx, fy, cx, cy):
-        p_cam = jnp.einsum("kij,nj->kni", Rs, points) + ts[:, None, :]
-        z = p_cam[..., 2]
-        front = (z > 1e-6) & pmask[None, :]
-        zs = jnp.where(front, z, 1.0)
-        px = jnp.where(front, p_cam[..., 0] / zs * fx[:, None] + cx[:, None], 0.0)
-        py = jnp.where(front, p_cam[..., 1] / zs * fy[:, None] + cy[:, None], 0.0)
-        neg = jnp.float32(-1e30)
-
-        def one_dir(_, j):
-            d = jnp.asarray(dirs)[j]
-            score = jnp.where(front, px * d[0] + py * d[1], neg)
-            idx = jnp.argmax(score, axis=1)                   # (C,)
-            rows = jnp.arange(c_pad)
-            return None, jnp.stack([px[rows, idx], py[rows, idx]], axis=-1)
-
-        _, sup = jax.lax.scan(one_dir, None, jnp.arange(k_dirs))
-        # sup: (K, C, 2) -> (C, K, 2)
-        return jnp.transpose(sup, (1, 0, 2)), front.sum(axis=1)
-
-    return run
-
-
-def _support_points_accel(points: np.ndarray, Rs, ts, fx, fy, cx, cy,
-                          k_dirs: int = 72):
-    """(C, K, 2) support points + (C,) in-front counts via the jitted
-    kernel, with pow2/128 padding so block-size changes don't recompile."""
-    n, c = len(points), len(Rs)
-    n_pad = _pow2(n)
-    c_pad = max(8, ((c + 7) // 8) * 8)
-    pp = np.zeros((n_pad, 3), np.float32)
-    pp[:n] = points
-    pmask = np.zeros(n_pad, bool)
-    pmask[:n] = True
-
-    def padc(a, fill=0.0):
-        out = np.full((c_pad,) + a.shape[1:], fill, np.float32)
-        out[:c] = a
-        return out
-
-    run = _support_kernel(n_pad, c_pad, k_dirs)
-    sup, n_front = run(pp, pmask, padc(Rs), padc(ts), padc(fx, 1.0),
-                       padc(fy, 1.0), padc(cx), padc(cy))
-    return np.asarray(sup)[:c], np.asarray(n_front)[:c]
-
-
 def select_cameras_by_visibility(
     block_points: np.ndarray,
     cameras: Sequence[CameraInfo],

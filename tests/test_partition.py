@@ -247,35 +247,3 @@ def test_radius_outlier_large_n_grid_path_exact(rng):
     tree = cKDTree(pts.astype(np.float64))
     d, _ = tree.query(pts.astype(np.float64), k=6, workers=-1)
     np.testing.assert_array_equal(keep, d[:, -1] <= 1.0)
-
-
-def test_support_points_accel_matches_numpy(rng):
-    """The jitted projection+support kernel must agree with the numpy
-    reference formulation (same directions, same argmax winners' scores)."""
-    import numpy as np
-
-    from pcp_tpu.partition.visibility import (
-        _support_points,
-        _support_points_accel,
-        project_points_batched,
-    )
-
-    pts = rng.uniform(-2, 2, size=(500, 3)).astype(np.float32)
-    k = 6
-    Rs = np.stack([np.eye(3)] * k).astype(np.float32)
-    ts = np.tile(np.array([0.0, 0.0, 4.0], np.float32), (k, 1))
-    ts[:, 0] = np.linspace(-1, 1, k)
-    fx = fy = np.full(k, 80.0, np.float32)
-    cx = cy = np.full(k, 64.0, np.float32)
-
-    pix, front = project_points_batched(pts, Rs, ts, fx, fy, cx, cy)
-    sup_np, nf_np = _support_points(pix, front)
-    sup_ac, nf_ac = _support_points_accel(pts, Rs, ts, fx, fy, cx, cy)
-
-    np.testing.assert_array_equal(nf_np, nf_ac)
-    # argmax ties may pick different points; compare the support SCORES
-    ang = np.linspace(0, 2 * np.pi, 72, endpoint=False)
-    dirs = np.stack([np.cos(ang), np.sin(ang)], axis=1)
-    s_np = np.einsum("ckd,kd->ck", sup_np, dirs)
-    s_ac = np.einsum("ckd,kd->ck", sup_ac, dirs)
-    np.testing.assert_allclose(s_ac, s_np, rtol=1e-5, atol=1e-4)
