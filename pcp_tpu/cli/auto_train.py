@@ -46,12 +46,21 @@ def main(argv=None) -> None:
     p.add_argument("--base_path", required=True,
                    help="<model>/split_result/visible")
     p.add_argument("--sequential", action="store_true")
+    p.add_argument("--intra_block", type=int, default=0, metavar="N",
+                   help="train blocks one at a time, each sharded over an "
+                        "N-device Gaussian-axis mesh (for blocks exceeding "
+                        "one chip's HBM; parallel/intra_block.py)")
     p.add_argument("--n_devices", type=int, default=None)
     p.add_argument("--device_data", action="store_true",
                    help="keep per-block camera banks (incl. images) device-"
                         "resident; host sends only camera indices per step")
     p.add_argument("--retry_failed", action="store_true",
-                   help="only (re)train blocks not marked done in the manifest")
+                   help="only (re)train blocks not marked done in the "
+                        "manifest; the fleet path also resumes from each "
+                        "block's rolling chkpnt_fleet.npz")
+    p.add_argument("--fleet_checkpoint_interval", type=int, default=2000,
+                   help="fleet path: per-block rolling checkpoint cadence "
+                        "(0 disables)")
     p.add_argument("--distributed", action="store_true",
                    help="multi-host: run jax.distributed.initialize "
                         "(COORDINATOR_ADDRESS/NUM_PROCESSES/PROCESS_ID env "
@@ -104,6 +113,23 @@ def main(argv=None) -> None:
     def out_dir(block_dir):
         return os.path.join(block_dir, "output")
 
+    if args.intra_block:
+        from pcp_tpu.parallel.intra_block import gauss_mesh, train_scene_sharded
+
+        mesh = gauss_mesh(args.intra_block)
+        for bid, block_dir in blocks:
+            try:
+                scene = load_colmap_scene(block_dir)
+                bcfg = _block_cfg(cfg, out_dir(block_dir))
+                mark(bid, status="running")
+                train_scene_sharded(scene, bcfg, mesh,
+                                    save_name=f"{bid}_point_cloud")
+                mark(bid, status="done")
+            except Exception as e:
+                print(f"block {bid} FAILED: {e}")
+                mark(bid, status="failed", error=str(e))
+        return
+
     if args.sequential:
         from pcp_tpu.train.loop import train_scene
 
@@ -129,8 +155,15 @@ def main(argv=None) -> None:
         mark(bid, status="running")
     mesh = block_mesh(args.n_devices)
     print(f"fleet: {len(scenes)} blocks over {mesh.devices.size} devices")
-    states = train_blocks_parallel(scenes, cfg, mesh=mesh, seed=cfg.seed,
-                                   device_data=args.device_data)
+    states = train_blocks_parallel(
+        scenes, cfg, mesh=mesh, seed=cfg.seed,
+        device_data=args.device_data,
+        block_dirs=[out_dir(d) for _, d in blocks],
+        block_ids=[bid for bid, _ in blocks],
+        progress_fn=mark,
+        checkpoint_interval=args.fleet_checkpoint_interval,
+        resume=args.retry_failed,
+    )
     for (bid, block_dir), state in zip(blocks, states):
         bcfg_path = out_dir(block_dir)
         save_model(state, bcfg_path, cfg.optim.iterations, f"{bid}_point_cloud")

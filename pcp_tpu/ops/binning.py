@@ -52,15 +52,36 @@ class TileBins(NamedTuple):
     tile_count: jnp.ndarray   # (num_tiles,) int32 live entries per tile
     n_pairs: jnp.ndarray      # () int32 total intersections (pre-cap)
     max_tile_load: jnp.ndarray  # () int32 max pre-clamp per-tile occupancy
+    n_dropped: jnp.ndarray = 0  # () int32 pairs lost to static caps
+    #   (v1: global max_pairs overflow; v2: class-capacity/footprint drops —
+    #    per-tile clamping to max_per_tile is NOT counted here, it is the
+    #    nearest-K policy reported via max_tile_load)
 
 
 def _ceil_log2(x: int) -> int:
     return max(1, (x - 1).bit_length())
 
 
+BINNING_VERSION = _os.environ.get("PCP_BINNING", "v2")
+
+
 def bin_gaussians(
     rect: jnp.ndarray,      # (N, 4) int32 tile bounds [x0,y0,x1,y1)
     depths: jnp.ndarray,    # (N,) camera-space depths
+    tiles_x: int,
+    tiles_y: int,
+    max_pairs: int,
+    max_per_tile: int,
+) -> TileBins:
+    if BINNING_VERSION == "v2":
+        return bin_gaussians_v2(rect, depths, tiles_x, tiles_y, max_per_tile)
+    return _bin_gaussians_v1(rect, depths, tiles_x, tiles_y, max_pairs,
+                             max_per_tile)
+
+
+def _bin_gaussians_v1(
+    rect: jnp.ndarray,
+    depths: jnp.ndarray,
     tiles_x: int,
     tiles_y: int,
     max_pairs: int,
@@ -185,4 +206,157 @@ def bin_gaussians(
     return TileBins(
         tile_gauss, tile_count, total.astype(jnp.int32),
         max_tile_load.astype(jnp.int32),
+        jnp.maximum(total - max_pairs, 0).astype(jnp.int32),
+    )
+
+
+# ---------------------------------------------------------------------------
+# v2: fixed-slots-per-class expansion (the default).
+#
+# The v1 pipeline pays three in-context costs the chip profile attributes
+# ~22 ms to (tools/exp_expand_bisect.py): a (max_pairs, 6) row gather that
+# maps every pair slot to its owning Gaussian's attributes, the scatter+
+# cummax that builds that mapping, and a 2M-element scatter into the
+# (num_tiles, K) table. v2 removes all three:
+#
+# - every Gaussian owns a FIXED number of pair slots determined by its
+#   footprint class (<=R1 tiles: a row in the dense (N, R1) block;
+#   <=R2: a row in a compacted (capB, R2) table; <=R3: (capC, R3)), so the
+#   slot -> Gaussian map is a reshape/broadcast, not a gather;
+# - per-slot [tile | depth-bits] keys sort with the Gaussian id as payload
+#   (rasterizer_impl.cu:90 semantics); invalid slots carry an all-ones
+#   sentinel key and sort to the end;
+# - the (num_tiles, K) table is a GATHER from the sorted payload through
+#   searchsorted tile ranges (identifyTileRanges analog) — gathers scale
+#   with num_tiles*K, scatters with the (larger) slot count.
+#
+# Overflow policy: per-tile loads beyond K keep the NEAREST K (depth is in
+# the key). Static-capacity drops (class-B/C/D table full) are counted in
+# ``n_dropped`` — the honest-bench contract is n_dropped == 0 and
+# max_tile_load <= K. Truncation is structurally impossible: class D rows
+# are ``num_tiles`` wide, and no footprint can exceed the tile count.
+# ---------------------------------------------------------------------------
+
+# Class geometry, sized against trained-scene footprint statistics
+# (tools/bench_scene.py: ~11% of live Gaussians exceed 16 tiles, ~0.7%
+# exceed 64, ~1e-5 exceed 512): headroom >= 1.5x at every boundary.
+R1 = int(_os.environ.get("PCP_R1", "16"))
+R2 = int(_os.environ.get("PCP_R2", "64"))
+R3 = int(_os.environ.get("PCP_R3", "512"))
+CAPB_DIV = int(_os.environ.get("PCP_CAPB_DIV", "8"))    # capB = N / 8
+CAPC_DIV = int(_os.environ.get("PCP_CAPC_DIV", "128"))  # capC = N / 128
+CAPD_DIV = int(_os.environ.get("PCP_CAPD_DIV", "4096"))  # capD = N / 4096
+
+
+def _expand_rows(x0, y0, wx, dq, gid, counts, r, tiles_x, depth_bits):
+    """(C,) per-row rect/depth/id data -> (C*r,) sort keys + payload.
+
+    Slot j of a row maps to tile (x0 + j % wx, y0 + j // wx) via the exact
+    float-reciprocal div (no hardware integer division); slots >= count get
+    the sentinel key."""
+    local = jnp.arange(r, dtype=jnp.int32)[None, :]            # (1, r)
+    valid = local < counts[:, None]
+    gwf = jnp.maximum(wx, 1).astype(jnp.float32)[:, None]
+    tyl = jnp.floor((local.astype(jnp.float32) + 0.5) / gwf).astype(jnp.int32)
+    txl = local - tyl * wx[:, None]
+    tile = ((y0[:, None] + tyl) * tiles_x + x0[:, None] + txl).astype(
+        jnp.uint32)
+    key = jnp.where(
+        valid,
+        (tile << jnp.uint32(depth_bits)) | dq[:, None],
+        jnp.uint32(0xFFFFFFFF),
+    )
+    pay = jnp.broadcast_to(gid[:, None], key.shape)
+    return key.reshape(-1), pay.reshape(-1)
+
+
+def _compact_class(mask, cap, n):
+    """Indices of masked Gaussians scattered into a (cap,) table (-1 pad);
+    rows past ``cap`` are dropped (counted by the caller)."""
+    rank = jnp.cumsum(mask.astype(jnp.int32)) - 1
+    tgt = jnp.where(mask & (rank < cap), rank, cap)
+    idx = (
+        jnp.full((cap,), -1, jnp.int32)
+        .at[tgt]
+        .set(jnp.arange(n, dtype=jnp.int32), mode="drop")
+    )
+    return idx, rank
+
+
+def bin_gaussians_v2(
+    rect: jnp.ndarray,
+    depths: jnp.ndarray,
+    tiles_x: int,
+    tiles_y: int,
+    max_per_tile: int,
+) -> TileBins:
+    n = rect.shape[0]
+    num_tiles = tiles_x * tiles_y
+    tile_bits = _ceil_log2(num_tiles + 1)
+    depth_bits = 32 - tile_bits
+    assert tile_bits <= 16, f"{num_tiles} tiles won't fit the packed key"
+    cap_b = max(n // CAPB_DIV, 32)
+    cap_c = max(n // CAPC_DIV, 16)
+
+    x0, y0 = rect[:, 0], rect[:, 1]
+    wx = rect[:, 2] - rect[:, 0]
+    wy = rect[:, 3] - rect[:, 1]
+    counts = (wx * wy).astype(jnp.int32)
+    total = jnp.sum(counts)
+    dq = (
+        jax.lax.bitcast_convert_type(depths.astype(jnp.float32), jnp.uint32)
+        >> jnp.uint32(32 - depth_bits)
+    )
+    gid_all = jnp.arange(n, dtype=jnp.int32)
+
+    # class A: dense rows, footprint <= R1
+    counts_a = jnp.where(counts <= R1, counts, 0)
+    key_a, pay_a = _expand_rows(x0, y0, wx, dq, gid_all, counts_a, R1,
+                                tiles_x, depth_bits)
+
+    def table(mask, cap, r):
+        idx, rank = _compact_class(mask, cap, n)
+        ok = idx >= 0
+        src = jnp.maximum(idx, 0)
+        cnt = jnp.where(ok, jnp.minimum(counts[src], r), 0)
+        key, pay = _expand_rows(
+            x0[src], y0[src], wx[src], dq[src], src, cnt, r,
+            tiles_x, depth_bits,
+        )
+        # drops: whole Gaussians past the table cap + per-row truncation
+        over = jnp.sum(jnp.where(mask & (rank >= cap), counts, 0))
+        trunc = jnp.sum(jnp.where(ok, counts[src] - cnt, 0))
+        return key, pay, over + trunc
+
+    key_b, pay_b, drop_b = table((counts > R1) & (counts <= R2), cap_b, R2)
+    key_c, pay_c, drop_c = table((counts > R2) & (counts <= R3), cap_c, R3)
+    # class D: footprints beyond R3 get rows as wide as the whole tile grid
+    # (a footprint cannot exceed num_tiles), so nothing is ever truncated;
+    # the table is tiny (N/4096 rows) because such splats are vanishingly
+    # rare in any scene that survives densify/prune.
+    cap_d = max(n // CAPD_DIV, 8)
+    key_d, pay_d, drop_d = table(counts > R3, cap_d, num_tiles)
+
+    keys = jnp.concatenate([key_a, key_b, key_c, key_d])
+    pays = jnp.concatenate([pay_a, pay_b, pay_c, pay_d])
+    s_key, s_gid = jax.lax.sort((keys, pays), num_keys=1, is_stable=False)
+    s_tile = (s_key >> jnp.uint32(depth_bits)).astype(jnp.int32)
+
+    tile_range = jnp.arange(num_tiles, dtype=jnp.int32)
+    starts = jnp.searchsorted(s_tile, tile_range, side="left").astype(jnp.int32)
+    ends = jnp.searchsorted(s_tile, tile_range, side="right").astype(jnp.int32)
+    load = ends - starts
+    max_tile_load = load.max() if num_tiles > 0 else jnp.int32(0)
+    tile_count = jnp.minimum(load, max_per_tile)
+
+    k_idx = jnp.arange(max_per_tile, dtype=jnp.int32)[None, :]
+    src = jnp.minimum(starts[:, None] + k_idx, keys.shape[0] - 1)
+    tile_gauss = jnp.where(k_idx < tile_count[:, None], s_gid[src], -1)
+
+    return TileBins(
+        tile_gauss,
+        tile_count,
+        total.astype(jnp.int32),
+        max_tile_load.astype(jnp.int32),
+        (drop_b + drop_c + drop_d).astype(jnp.int32),
     )

@@ -283,6 +283,27 @@ def _fwd_kernel(att, color_ref, tfin_ref, ncontrib_ref,
     @pl.when(jnp.min(d_scr[:]) < 0.5)
     def _compute():
         a = att[:]
+        # Load-bounded skip: chunks past every tile's live count carry only
+        # zero-valid pad slots (binning writes -1 ids -> valid 0), so the
+        # whole chunk is inert — one reduce on the already-DMA'd block
+        # gates the VPU/MXU work. Makes a generous max_per_tile ~free in
+        # compute (cost tracks the actual max tile load, not K).
+        chunk_live = jnp.max(_row(a, _I_VALID)) > 0.0
+
+        @pl.when(chunk_live)
+        def _compute_live():
+            _fwd_chunk_body(a, color_ref, t_scr, d_scr, nc_scr, scan_scr,
+                            i, c_idx, tiles_x)
+
+    @pl.when(c_idx == pl.num_programs(1) - 1)
+    def _():
+        tfin_ref[:] = t_scr[:]
+        ncontrib_ref[:] = nc_scr[:]
+
+
+def _fwd_chunk_body(a, color_ref, t_scr, d_scr, nc_scr, scan_scr, i, c_idx,
+                    tiles_x):
+    if True:  # body lifted verbatim out of _fwd_kernel's nested pl.when
         px, py = _pix_coords(i, tiles_x)
         alpha, _, _ = _local_alpha(
             _row(a, _I_MX), _row(a, _I_MY), _row(a, _I_CA), _row(a, _I_CB),
@@ -331,11 +352,6 @@ def _fwd_kernel(att, color_ref, tfin_ref, ncontrib_ref,
 
         t_scr[:] = trans_in * _last_slot(prod_incl)
         d_scr[:] = _last_slot(done_k.astype(jnp.float32))
-
-    @pl.when(c_idx == pl.num_programs(1) - 1)
-    def _():
-        tfin_ref[:] = t_scr[:]
-        ncontrib_ref[:] = nc_scr[:]
 
 
 def _bwd_kernel(att, gcolor, gtfin, tfin, ncontrib,

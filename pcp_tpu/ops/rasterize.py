@@ -305,5 +305,6 @@ def rasterize(
         "n_pairs": bins.n_pairs,
         "tile_count": bins.tile_count,
         "max_tile_load": bins.max_tile_load,
+        "n_dropped": bins.n_dropped,
     }
     return image, aux

@@ -16,6 +16,7 @@ outputs are dropped on unstack.
 from __future__ import annotations
 
 import functools
+import os as _os
 from typing import Dict, List, NamedTuple, Optional, Sequence, Tuple
 
 import jax
@@ -295,6 +296,9 @@ def make_fleet_step_banked(
     return fleet_step
 
 
+FLEET_CKPT_NAME = "chkpnt_fleet.npz"
+
+
 def train_blocks_parallel(
     block_scenes,                  # List[SceneInfo] (one per block)
     cfg,                           # TrainRunConfig
@@ -304,6 +308,11 @@ def train_blocks_parallel(
     log_fn=print,
     seed: int = 0,
     device_data: bool = False,
+    block_dirs: Optional[List[str]] = None,   # per-block output dirs
+    block_ids: Optional[List[str]] = None,    # names for progress_fn
+    progress_fn=None,                          # progress_fn(bid, **fields)
+    checkpoint_interval: int = 0,              # >0: rolling ckpt cadence
+    resume: bool = False,                      # restore FLEET_CKPT_NAME
 ) -> List[TrainState]:
     """Train every block simultaneously on the mesh; returns per-block final
     states (ordered like ``block_scenes``).
@@ -312,16 +321,30 @@ def train_blocks_parallel(
     ``device_data`` the per-block camera banks (incl. ground-truth images)
     live sharded on the devices and the host sends only (B,) indices —
     otherwise it stacks and ships (viewmat, intrin, gt, uid) each step.
+
+    Durability (training_report/checkpoint parity for the fleet path,
+    train.py:160-162,188-243): with ``block_dirs`` set, every
+    ``checkpoint_interval`` iterations each block writes a rolling
+    ``chkpnt_fleet.npz`` + manifest progress via ``progress_fn``;
+    ``cfg.test_iterations`` run a per-block L1/PSNR eval + TB scalars and
+    ``cfg.save_iterations`` write PLY snapshots. ``resume=True`` restores
+    each block from its rolling checkpoint and restarts the lockstep loop
+    from the OLDEST restored iteration (blocks that were ahead retrain a
+    few steps — checkpoints are written in lockstep, so iterations only
+    diverge across a crash window).
     """
     import random as _random
 
     from pcp_tpu.scene import cameras as cam_mod
-    from pcp_tpu.train.loop import init_state
+    from pcp_tpu.train import checkpoint as _ckpt
+    from pcp_tpu.train.loop import evaluate_cameras, init_state, save_model
 
     if mesh is None:
         mesh = block_mesh()
     ocfg = cfg.optim
     iterations = iterations or ocfg.iterations
+    if block_ids is None:
+        block_ids = [f"block{i}" for i in range(len(block_scenes))]
 
     # Per-block camera lists; mixed resolutions pad into the max (w, h)
     # frame and the step masks losses to each camera's native size.
@@ -338,10 +361,25 @@ def train_blocks_parallel(
 
     key = jax.random.PRNGKey(seed)
     states, extents = [], []
+    start_iter = 0
+    ckpt_iters = []
     for bi, scene in enumerate(block_scenes):
         key, k = jax.random.split(key)
-        states.append(init_state(scene, cfg, (w, h), k))
+        st = init_state(scene, cfg, (w, h), k)
+        if resume and block_dirs:
+            path = _os.path.join(block_dirs[bi], FLEET_CKPT_NAME)
+            if _os.path.exists(path):
+                st, it0 = _ckpt.load(path, st)
+                ckpt_iters.append(int(it0))
+            else:
+                ckpt_iters.append(0)
+        states.append(st)
         extents.append(scene.extent)
+    if resume and ckpt_iters:
+        start_iter = min(ckpt_iters)
+        if log_fn:
+            log_fn(f"fleet: resuming from iteration {start_iter} "
+                   f"(per-block checkpoints at {ckpt_iters})")
 
     n_shards = mesh.devices.size
     fleet = pad_blocks(states, extents, n_shards)
@@ -377,7 +415,29 @@ def train_blocks_parallel(
             rngs[bi].shuffle(stacks[bi])
         return stacks[bi].pop()
 
-    for it in range(1, iterations + 1):
+    # per-block TB/JSONL loggers + a small eval set (the scene's test split
+    # when present, else a 3-camera train sample — training_report's
+    # sampled train views, train.py:200-204)
+    loggers = [None] * len(block_scenes)
+    eval_cams = [[] for _ in block_scenes]
+    if block_dirs:
+        from pcp_tpu.train.logging import TrainLogger
+
+        for bi, d in enumerate(block_dirs):
+            _os.makedirs(d, exist_ok=True)
+            loggers[bi] = TrainLogger(d)
+            eval_cams[bi] = block_cams[bi][:: max(1, len(block_cams[bi]) // 3)][:3]
+
+    def checkpoint_all(it):
+        host = jax.device_get(fleet)
+        for bi in range(len(block_scenes)):
+            st = unstack_state(host.state, bi)
+            _ckpt.save(_os.path.join(block_dirs[bi], FLEET_CKPT_NAME), st, it)
+            if progress_fn:
+                progress_fn(block_ids[bi], status="running", ckpt_iter=it)
+        return host
+
+    for it in range(start_iter + 1, iterations + 1):
         sh_degree = min(cfg.model.sh_degree, (it - 1) // 1000)
         if device_data:
             cam_idx = jnp.asarray(
@@ -419,9 +479,49 @@ def train_blocks_parallel(
             ):
                 fleet = reset_fn(fleet)
 
+        if block_dirs and checkpoint_interval and \
+                it % checkpoint_interval == 0 and it < iterations:
+            checkpoint_all(it)
+
+        if block_dirs and it in getattr(cfg, "test_iterations", ()):
+            host = jax.device_get(fleet)
+            sh_now = min(cfg.model.sh_degree, (it - 1) // 1000)
+            for bi in range(len(block_scenes)):
+                if not eval_cams[bi]:
+                    continue
+                st = unstack_state(host.state, bi)
+                m = evaluate_cameras(st, eval_cams[bi], sh_now, background,
+                                     ocfg)
+                if log_fn:
+                    log_fn(f"[eval {it}] {block_ids[bi]} l1 {m['l1']:.4f} "
+                           f"psnr {m['psnr']:.2f}")
+                if loggers[bi]:
+                    loggers[bi].scalars(it, {
+                        "test/loss_viewpoint_l1": m["l1"],
+                        "test/loss_viewpoint_psnr": m["psnr"],
+                    })
+                if progress_fn:
+                    progress_fn(block_ids[bi], eval_iter=it,
+                                psnr=round(m["psnr"], 3))
+
+        if block_dirs and it in getattr(cfg, "save_iterations", ()) and \
+                it < iterations:
+            host = jax.device_get(fleet)
+            for bi in range(len(block_scenes)):
+                save_model(unstack_state(host.state, bi), block_dirs[bi], it,
+                           f"{block_ids[bi]}_point_cloud")
+
         if log_fn and (it % 100 == 0 or it == 1):
             losses = np.asarray(metrics["loss"])[: len(block_scenes)]
             log_fn(f"fleet iter {it:6d} mean loss {losses.mean():.5f}")
+            for bi, lg in enumerate(loggers):
+                if lg:
+                    lg.scalars(it, {
+                        "train_loss_patches/total_loss":
+                            float(losses[bi]),
+                        "total_points":
+                            float(np.asarray(metrics["n_visible"])[bi]),
+                    })
             overflow = np.asarray(metrics["overflow"])[: len(block_scenes)]
             if overflow.any():
                 n_pairs = np.asarray(metrics["n_pairs"])[: len(block_scenes)]
@@ -443,4 +543,12 @@ def train_blocks_parallel(
                 )
 
     host_fleet = jax.device_get(fleet)
+    if block_dirs and checkpoint_interval:
+        for bi in range(len(block_scenes)):
+            st = unstack_state(host_fleet.state, bi)
+            _ckpt.save(_os.path.join(block_dirs[bi], FLEET_CKPT_NAME), st,
+                       iterations)
+    for lg in loggers:
+        if lg:
+            lg.close()
     return [unstack_state(host_fleet.state, i) for i in range(len(block_scenes))]

@@ -57,6 +57,44 @@ def shard_params(params, alive, mesh: Mesh):
     return jax.tree_util.tree_map(put, params), put(alive)
 
 
+def balance_for_sharding(params, alive, d: int):
+    """Permute the capacity axis so alive Gaussians (and therefore free
+    slots) spread evenly over a d-way shard of that axis.
+
+    Shard-local densify (make_sharded_densify) clones/splits into free
+    slots ON THE SAME SHARD; a freshly loaded block packs its alive
+    Gaussians into the low slots, which would leave the first shards full
+    (clones dropped) and the last shards empty (nothing to clone).
+    Compositing is order-invariant (depth sort happens in binning), so a
+    one-time host-side permutation is free."""
+    alive_np = np.asarray(alive)
+    c = alive_np.shape[0]
+    per = c // d
+    assert per * d == c, f"capacity {c} must divide the {d}-way mesh"
+    a_idx = np.flatnonzero(alive_np)
+    dead_q = np.flatnonzero(~alive_np)
+    buckets = [list(a_idx[s::d]) for s in range(d)]
+    perm, di = [], 0
+    for s in range(d):
+        need = per - len(buckets[s])
+        assert need >= 0
+        buckets[s].extend(dead_q[di:di + need])
+        di += need
+        perm.extend(buckets[s])
+    perm = np.asarray(perm, dtype=np.int64)
+    take = lambda x: np.asarray(x)[perm] if np.ndim(x) >= 1 else x
+    return (jax.tree_util.tree_map(take, params), take(alive_np))
+
+
+def shard_tree(tree, mesh: Mesh):
+    """device_put a pytree with rank>=1 leaves N-axis sharded and scalar
+    leaves (e.g. the Adam step counter) replicated."""
+    sh_g = NamedSharding(mesh, P("gauss"))
+    sh_r = NamedSharding(mesh, P())
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, sh_g if jnp.ndim(x) >= 1 else sh_r), tree)
+
+
 def _band(image_size, d, idx):
     """Tile-row band [row0, row1) of device idx among d."""
     w, h = image_size
@@ -72,9 +110,15 @@ def make_sharded_render(
     *,
     max_per_tile: int = 512,
     pairs_per_gaussian: int = 16,
+    with_aux: bool = False,
 ):
-    """render(params_sharded, alive_sharded, viewmat, intrin, background)
-    -> full (H, W, 3) image (replicated)."""
+    """render(params_sharded, alive_sharded, viewmat, intrin, background
+    [, probe]) -> full (H, W, 3) image (replicated).
+
+    ``with_aux=True`` additionally threads a sharded (C, 2) ``probe``
+    (the means2d densify-gradient probe, train/step.py) through the
+    shard-local preprocess and returns (img, radii, visible) with the
+    per-Gaussian aux arrays sharded like the params."""
     w, h = int(image_size[0]), int(image_size[1])
     d = mesh.devices.size
     tiles_x = (w + TILE - 1) // TILE
@@ -82,13 +126,13 @@ def make_sharded_render(
     band_rows = (tiles_y + d - 1) // d
     band_h = band_rows * TILE
 
-    def local(params, alive, viewmat, intrin, background):
+    def local(params, alive, viewmat, intrin, background, probe):
         # --- shard-local preprocess over N/D Gaussians ---
         opac = G.opacity_act(params["opacity"])[:, 0] * alive.astype(jnp.float32)
         prep = preprocess(
             params["xyz"], G.scaling_act(params["scaling"]),
             params["rotation"], opac, G.sh_coeffs(params), viewmat, intrin,
-            (w, h), sh_degree,
+            (w, h), sh_degree, means2d_offset=probe,
         )
         # --- all_gather screen-space attributes (the "activation gather") ---
         gathered = {
@@ -116,20 +160,26 @@ def make_sharded_render(
         )
         band, _ = composite(band_prep, bins, (w, band_h), background)
         # --- assemble the full image (bands are disjoint rows) ---
-        return band[None]  # (1, band_h, w, 3); out_specs concatenates
+        # (1, band_h, w, 3); out_specs concatenates. aux stays shard-local.
+        return band[None], prep["radii"], prep["visible"]
 
     f = shard_map(
         local,
         mesh=mesh,
-        in_specs=(P("gauss"), P("gauss"), P(), P(), P()),
-        out_specs=P("gauss"),
+        in_specs=(P("gauss"), P("gauss"), P(), P(), P(), P("gauss")),
+        out_specs=(P("gauss"), P("gauss"), P("gauss")),
         check_vma=False,
     )
 
-    def render(params, alive, viewmat, intrin, background):
-        bands = f(params, alive, viewmat, intrin, background)
-        img = bands.reshape(d * band_h, w, 3)
-        return img[:h]
+    def render(params, alive, viewmat, intrin, background, probe=None):
+        if probe is None:
+            probe = jnp.zeros_like(params["xyz"][:, :2])
+        bands, radii, visible = f(params, alive, viewmat, intrin, background,
+                                  probe)
+        img = bands.reshape(d * band_h, w, 3)[:h]
+        if with_aux:
+            return img, radii, visible
+        return img
 
     return render
 
@@ -172,3 +222,219 @@ def make_sharded_train_step(
         return params, opt_g, loss
 
     return step
+
+
+# ---------------------------------------------------------------------------
+# Full intra-block TRAINER: appearance net + densify/prune + opacity reset
+# under Gaussian-axis sharding. The appearance net is replicated (it is a
+# few MB); Gaussian params, Adam moments, densify stats, and the densify
+# transform itself are all shard-local (each shard manages its capacity/D
+# slot pool independently — clone/split targets free slots on the same
+# shard, so there is no cross-shard migration traffic).
+# ---------------------------------------------------------------------------
+
+from pcp_tpu.train.step import TrainState, appearance_lrs, densify_impl
+
+
+def make_sharded_train_step_full(
+    mesh: Mesh,
+    ocfg: OptimConfig,
+    image_size,
+    *,
+    use_appearance: bool = True,
+):
+    """Jitted full step on a sharded block: render (Gaussian-axis sharded
+    preprocess + tile-band composite) -> appearance decouple -> L1+D-SSIM ->
+    Adam on both param sets -> densify-stat accumulation (train.py:94-157
+    parity at intra-block scale)."""
+    from pcp_tpu.models.appearance import decouple_appearance
+
+    w, h = int(image_size[0]), int(image_size[1])
+    render_cache = {}
+
+    def get_render(sh_degree):
+        if sh_degree not in render_cache:
+            render_cache[sh_degree] = make_sharded_render(
+                mesh, (w, h), sh_degree, max_per_tile=ocfg.max_per_tile,
+                pairs_per_gaussian=ocfg.pairs_per_gaussian, with_aux=True,
+            )
+        return render_cache[sh_degree]
+
+    @functools.partial(jax.jit, static_argnames=("sh_degree",),
+                       donate_argnums=(0,))
+    def step(state: TrainState, viewmat, intrin, gt, view_idx, background,
+             extent, sh_degree):
+        render = get_render(sh_degree)
+        probe0 = jnp.zeros_like(state.params["xyz"][:, :2])
+
+        def loss_fn(params, app, probe):
+            img, radii, visible = render(params, state.alive, viewmat,
+                                         intrin, background, probe)
+            if use_appearance and app is not None:
+                decoupled, _ = decouple_appearance(img, app, view_idx)
+            else:
+                decoupled = img
+            chw = lambda x: jnp.transpose(x, (2, 0, 1))
+            loss = (1.0 - ocfg.lambda_dssim) * l1_loss(decoupled, gt) + (
+                ocfg.lambda_dssim
+            ) * (1.0 - ssim(chw(img), chw(gt)))
+            return loss, (radii, visible)
+
+        (loss, (radii, visible)), grads = jax.value_and_grad(
+            loss_fn, argnums=(0, 1, 2), has_aux=True
+        )(state.params, state.app, probe0)
+        g_gauss, g_app, g_probe = grads
+
+        gnorm = jnp.linalg.norm(
+            g_probe * jnp.asarray([0.5 * w, 0.5 * h]), axis=-1)
+        vis = visible & state.alive
+        stats = {
+            "grad_accum": state.stats["grad_accum"] + jnp.where(vis, gnorm, 0.0),
+            "denom": state.stats["denom"] + vis.astype(jnp.float32),
+            "max_radii2d": jnp.maximum(
+                state.stats["max_radii2d"], jnp.where(vis, radii, 0.0)),
+        }
+        dead = ~state.alive
+        g_gauss = jax.tree_util.tree_map(
+            lambda g: jnp.where(
+                dead.reshape((-1,) + (1,) * (g.ndim - 1)), 0.0, g),
+            g_gauss,
+        )
+        params, opt_g = optim.adam_step(
+            state.params, g_gauss, state.opt_g, gaussian_lrs(ocfg, extent))
+        if use_appearance and state.app is not None:
+            app, opt_a = optim.adam_step(
+                state.app, g_app, state.opt_a, appearance_lrs(ocfg))
+        else:
+            app, opt_a = state.app, state.opt_a
+        new_state = TrainState(params, app, opt_g, opt_a, state.alive, stats)
+        return new_state, {"loss": loss, "n_visible": jnp.sum(vis)}
+
+    return step
+
+
+def make_sharded_densify(mesh: Mesh, ocfg: OptimConfig):
+    """Shard-local densify/prune (+ Adam moment surgery): every shard runs
+    densify_impl on its capacity/D slice with a per-shard RNG fold — the
+    explicit alternative to gather-densify-reshard, with zero collectives."""
+    spec_g = P("gauss")
+
+    def local(params, opt_g, alive, stats, key, extent, prune_big):
+        key = jax.random.fold_in(key, jax.lax.axis_index("gauss"))
+        st = TrainState(params, None, opt_g, None, alive, stats)
+        out = densify_impl(st, key, extent, ocfg=ocfg, prune_big=prune_big)
+        return out.params, out.opt_g, out.alive, out.stats
+
+    def _spec_of(tree):
+        # scalar leaves (the Adam step counter) stay replicated
+        return jax.tree_util.tree_map(
+            lambda x: spec_g if jnp.ndim(x) >= 1 else P(), tree)
+
+    @functools.partial(jax.jit, static_argnames=("prune_big",),
+                       donate_argnums=(0,))
+    def densify(state: TrainState, key, extent, prune_big: bool):
+        f = shard_map(
+            functools.partial(local, prune_big=prune_big),
+            mesh=mesh,
+            in_specs=(_spec_of(state.params), _spec_of(state.opt_g),
+                      spec_g, _spec_of(state.stats), P(), P()),
+            out_specs=(_spec_of(state.params), _spec_of(state.opt_g),
+                       spec_g, _spec_of(state.stats)),
+            check_vma=False,
+        )
+        params, opt_g, alive, stats = f(
+            state.params, state.opt_g, state.alive, state.stats, key, extent)
+        return TrainState(params, state.app, opt_g, state.opt_a, alive, stats)
+
+    return densify
+
+
+def train_scene_sharded(
+    scene,
+    cfg,
+    mesh: Mesh,
+    *,
+    save_name: str = "point_cloud",
+    log_fn=print,
+) -> TrainState:
+    """Train ONE oversized block sharded over ``mesh`` with the reference
+    cadence (densify window/interval, opacity reset, SH warm-up) — the
+    auto_train --intra_block path for blocks that exceed a chip's HBM
+    (README.md:90-99 threshold<->VRAM table; this removes the need to
+    shrink the partition threshold)."""
+    import os
+    import random as _random
+
+    from pcp_tpu.scene import cameras as cam_mod
+    from pcp_tpu.scene.dataset import split_train_test
+    from pcp_tpu.train.loop import init_state, save_model
+    from pcp_tpu.train.step import opacity_reset_impl
+
+    d = mesh.devices.size
+    ocfg = cfg.optim
+    assert ocfg.capacity % d == 0, (
+        f"capacity {ocfg.capacity} must divide the {d}-way gauss mesh")
+    model_path = cfg.model.model_path
+    os.makedirs(model_path, exist_ok=True)
+
+    train_infos, _ = split_train_test(
+        scene.cameras, cfg.model.eval, cfg.model.llffhold,
+        explicit_test=getattr(scene, "test_camera_uids", None),
+    )
+    cams = [cam_mod.from_info(i, cfg.model.resolution) for i in train_infos]
+    sizes = sorted({(c.width, c.height) for c in cams})
+    assert len(sizes) == 1, "intra-block path: one camera resolution per block"
+    w, h = sizes[0]
+
+    key = jax.random.PRNGKey(cfg.seed)
+    key, k0 = jax.random.split(key)
+    state = init_state(scene, cfg, (w, h), k0)
+    bal_params, bal_alive = balance_for_sharding(state.params, state.alive, d)
+    p_sh, a_sh = shard_params(bal_params, bal_alive, mesh)
+    state = TrainState(
+        params=p_sh,
+        app=state.app,
+        opt_g=shard_tree(state.opt_g, mesh),
+        opt_a=state.opt_a,
+        alive=a_sh,
+        stats=shard_tree(state.stats, mesh),
+    )
+
+    step = make_sharded_train_step_full(
+        mesh, ocfg, (w, h), use_appearance=cfg.pipeline.use_appearance)
+    densify = make_sharded_densify(mesh, ocfg)
+    reset = jax.jit(opacity_reset_impl, donate_argnums=(0,))
+
+    background = jnp.asarray(
+        [1.0, 1.0, 1.0] if cfg.model.white_background else [0.0, 0.0, 0.0])
+    rng = _random.Random(cfg.seed)
+    stack = []
+    extent = jnp.float32(scene.extent)
+    for it in range(1, ocfg.iterations + 1):
+        if not stack:
+            stack = list(range(len(cams)))
+            rng.shuffle(stack)
+        cam = cams[stack.pop()]
+        sh_degree = min(cfg.model.sh_degree, (it - 1) // 1000)
+        viewmat, intrin = cam_mod.camera_device_arrays(cam)
+        state, metrics = step(
+            state, viewmat, intrin, jnp.asarray(cam.gt_image),
+            jnp.int32(cam.uid), background, extent, sh_degree,
+        )
+        if ocfg.densify_from_iter <= it <= ocfg.densify_until_iter:
+            if it % ocfg.densification_interval == 0:
+                key, dk = jax.random.split(key)
+                state = densify(state, dk, extent,
+                                it > ocfg.opacity_reset_interval)
+            if it % ocfg.opacity_reset_interval == 0 or (
+                cfg.model.white_background and it == ocfg.densify_from_iter
+            ):
+                state = reset(state)
+        if log_fn and (it % 100 == 0 or it == 1):
+            log_fn(f"[sharded x{d}] iter {it:6d} "
+                   f"loss {float(metrics['loss']):.5f} "
+                   f"alive {int(np.asarray(state.alive).sum())}")
+
+    host = jax.device_get(state)
+    save_model(host, model_path, ocfg.iterations, save_name)
+    return host

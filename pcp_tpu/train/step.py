@@ -209,8 +209,10 @@ def train_step_impl(
         "loss": loss,
         "n_pairs": aux["n_pairs"],
         "n_visible": jnp.sum(visible),
-        "overflow": aux["n_pairs"]
-        > ocfg.pairs_per_gaussian * state.params["xyz"].shape[0],
+        # pairs lost to static capacities (v1: global max_pairs; v2: class
+        # tables / footprint truncation) — 0 on an honestly-sized workload
+        "overflow": aux["n_dropped"] > 0,
+        "n_dropped": aux["n_dropped"],
         "max_tile_load": aux["max_tile_load"],
         "tile_saturated": aux["max_tile_load"] > ocfg.max_per_tile,
     }

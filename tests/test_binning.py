@@ -4,42 +4,57 @@ Covers the TPU rebuild of the reference's CUB binning pipeline
 (rasterizer_impl.cu:70-138): pair expansion, [tile|depth] key sort, tile
 ranges — plus the static-shape overflow policies the CUDA version did not
 need (it resized buffers dynamically, rasterize_points.cu:27-33).
+
+Both generations are tested: v1 (scatter+cummax expansion, global max_pairs
+cap) and v2 (fixed-slots-per-class expansion, per-class capacities — the
+default).
 """
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
-from pcp_tpu.ops.binning import bin_gaussians
+from pcp_tpu.ops import binning
+from pcp_tpu.ops.binning import _bin_gaussians_v1, bin_gaussians_v2
 
 TX, TY = 4, 4
 
 
-def _bins(rect, depths, max_pairs=256, max_per_tile=8):
-    return bin_gaussians(
-        jnp.asarray(rect, jnp.int32), jnp.asarray(depths, jnp.float32),
-        TX, TY, max_pairs=max_pairs, max_per_tile=max_per_tile,
-    )
+def _bins(version, rect, depths, max_pairs=256, max_per_tile=8):
+    rect = jnp.asarray(rect, jnp.int32)
+    depths = jnp.asarray(depths, jnp.float32)
+    if version == "v2":
+        return bin_gaussians_v2(rect, depths, TX, TY, max_per_tile)
+    return _bin_gaussians_v1(rect, depths, TX, TY, max_pairs, max_per_tile)
 
 
-def test_within_tile_depth_order():
+@pytest.fixture(params=["v1", "v2"])
+def version(request):
+    return request.param
+
+
+def test_within_tile_depth_order(version):
     # three gaussians on the same tile, shuffled depths
     rect = [[1, 1, 2, 2]] * 3
     depths = [5.0, 1.0, 3.0]
-    b = _bins(rect, depths)
+    b = _bins(version, rect, depths)
     tile = 1 * TX + 1
     ids = np.asarray(b.tile_gauss[tile])[: int(b.tile_count[tile])]
     assert list(ids) == [1, 2, 0]  # nearest first
+    assert int(b.n_dropped) == 0
 
 
-def test_pair_overflow_drops_farthest():
+def test_v1_pair_overflow_drops_farthest():
     # 8 single-tile gaussians but room for only 5 pairs: the 5 NEAREST
-    # must survive, regardless of index order.
+    # must survive, regardless of index order. (v1's global max_pairs cap;
+    # v2 has no global cap — its static capacities are per class.)
     n = 8
     rng = np.random.default_rng(0)
     depths = rng.permutation(np.arange(1, n + 1)).astype(np.float32)
     rect = [[i % TX, i // TX, i % TX + 1, i // TX + 1] for i in range(n)]
-    b = _bins(rect, depths, max_pairs=5)
+    b = _bins("v1", rect, depths, max_pairs=5)
     assert int(b.n_pairs) == n  # pre-cap count reports the true total
+    assert int(b.n_dropped) == 3
     kept = set()
     for t in range(TX * TY):
         kept |= set(np.asarray(b.tile_gauss[t])[: int(b.tile_count[t])].tolist())
@@ -47,22 +62,92 @@ def test_pair_overflow_drops_farthest():
     assert kept == want
 
 
-def test_per_tile_saturation_keeps_nearest_and_reports_load():
+def test_per_tile_saturation_keeps_nearest_and_reports_load(version):
     n = 6
     rect = [[0, 0, 1, 1]] * n
     depths = np.asarray([6.0, 2.0, 4.0, 1.0, 5.0, 3.0])
-    b = _bins(rect, depths, max_per_tile=3)
+    b = _bins(version, rect, depths, max_per_tile=3)
     assert int(b.max_tile_load) == n  # pre-clamp occupancy surfaced
     ids = np.asarray(b.tile_gauss[0])[: int(b.tile_count[0])]
     assert list(ids) == [3, 1, 5]  # three nearest, ordered near-to-far
 
 
-def test_multi_tile_spans():
+def test_multi_tile_spans(version):
     # one gaussian covering a 2x2 tile rect lands in all four tiles
-    b = _bins([[1, 1, 3, 3]], [2.0])
+    b = _bins(version, [[1, 1, 3, 3]], [2.0])
     hit = {
         t for t in range(TX * TY) if int(b.tile_count[t]) > 0
     }
     assert hit == {1 * TX + 1, 1 * TX + 2, 2 * TX + 1, 2 * TX + 2}
     assert int(b.n_pairs) == 4
     assert int(b.max_tile_load) == 1
+
+
+def test_versions_agree_randomized():
+    """v1 and v2 must produce identical per-tile lists on a random scene
+    with ample capacity (no caps active in either)."""
+    rng = np.random.default_rng(42)
+    n = 200
+    x0 = rng.integers(0, TX, n)
+    y0 = rng.integers(0, TY, n)
+    wx = rng.integers(0, TX - x0 + 1, n)
+    wy = rng.integers(0, TY - y0 + 1, n)
+    rect = np.stack([x0, y0, x0 + wx, y0 + wy], axis=1)
+    depths = rng.uniform(0.5, 50.0, n).astype(np.float32)
+    b1 = _bins("v1", rect, depths, max_pairs=4096, max_per_tile=256)
+    b2 = _bins("v2", rect, depths, max_per_tile=256)
+    np.testing.assert_array_equal(np.asarray(b1.tile_count),
+                                  np.asarray(b2.tile_count))
+    np.testing.assert_array_equal(np.asarray(b1.tile_gauss),
+                                  np.asarray(b2.tile_gauss))
+    assert int(b1.n_pairs) == int(b2.n_pairs)
+    assert int(b2.n_dropped) == 0
+
+
+def test_v2_class_tables_route_large_footprints(monkeypatch):
+    """Footprints > R1 go through the compacted class-B/C tables and still
+    land on every covered tile; capacity overruns are counted, not silent."""
+    monkeypatch.setattr(binning, "R1", 2)
+    monkeypatch.setattr(binning, "R2", 6)
+    monkeypatch.setattr(binning, "R3", 16)
+    # one 1-tile (A), one 2x2=4-tile (B), one 4x3=12-tile (C)
+    rect = [[0, 0, 1, 1], [1, 1, 3, 3], [0, 0, 4, 3]]
+    depths = [1.0, 2.0, 3.0]
+    b = _bins("v2", rect, depths, max_per_tile=8)
+    assert int(b.n_pairs) == 1 + 4 + 12
+    assert int(b.n_dropped) == 0
+    got = np.asarray(b.tile_count).reshape(TY, TX)
+    want = np.zeros((TY, TX), np.int64)
+    want[0:3, 0:4] += 1          # the 12-tile C gaussian
+    want[1:3, 1:3] += 1          # the 4-tile B gaussian
+    want[0, 0] += 1              # the 1-tile A gaussian
+    np.testing.assert_array_equal(got, want)
+    # tile (1,1): A absent, B (depth 2) before C (depth 3)
+    t = 1 * TX + 1
+    assert list(np.asarray(b.tile_gauss[t])[: int(b.tile_count[t])]) == [1, 2]
+
+
+def test_v2_footprint_beyond_r3_is_lossless(monkeypatch):
+    """Footprints > R3 land in class D, whose rows span the whole tile
+    grid — every pair survives (truncation is structurally impossible)."""
+    monkeypatch.setattr(binning, "R1", 2)
+    monkeypatch.setattr(binning, "R2", 4)
+    monkeypatch.setattr(binning, "R3", 8)
+    b = _bins("v2", [[0, 0, 4, 3]], [1.0], max_per_tile=8)
+    assert int(b.n_pairs) == 12
+    assert int(b.n_dropped) == 0
+    got = np.asarray(b.tile_count).reshape(TY, TX)
+    assert got[:3, :4].sum() == 12 and got.sum() == 12
+
+
+def test_v2_class_d_table_overflow_is_counted(monkeypatch):
+    """More >R3 Gaussians than class-D rows: the excess is dropped AND
+    counted (the honest-bench contract surfaces it as overflow)."""
+    monkeypatch.setattr(binning, "R1", 2)
+    monkeypatch.setattr(binning, "R2", 4)
+    monkeypatch.setattr(binning, "R3", 8)
+    # cap_d = max(n // CAPD_DIV, 8) = 8 rows; 9 monsters of 12 tiles each
+    rect = [[0, 0, 4, 3]] * 9
+    b = _bins("v2", rect, list(np.arange(9) + 1.0), max_per_tile=16)
+    assert int(b.n_pairs) == 9 * 12
+    assert int(b.n_dropped) == 12  # exactly one whole row's worth

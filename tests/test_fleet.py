@@ -176,3 +176,72 @@ def test_fleet_banked_matches_host_fed(synth, tmp_path):
             np.asarray(sa.params["xyz"]), np.asarray(sb.params["xyz"]),
             rtol=1e-5, atol=1e-7,
         )
+
+
+def test_fleet_checkpoint_resume(synth, tmp_path):
+    """Durability contract: a fleet interrupted after its rolling
+    checkpoints resumes via resume=True and finishes WITHOUT restarting
+    from zero (train.py:160-162 parity for the fleet path)."""
+    import json
+    import os
+
+    from pcp_tpu.parallel.fleet import FLEET_CKPT_NAME
+    from pcp_tpu.partition.pipeline import PartitionConfig, run_partition
+    from pcp_tpu.scene import load_colmap_scene
+    from pcp_tpu.train import checkpoint as ckpt
+    from pcp_tpu.train.loop import init_state
+
+    scene = load_colmap_scene(synth)
+    records = run_partition(
+        scene, str(tmp_path / "model"),
+        PartitionConfig(threshold=40, expansion_distance=10.0,
+                        visible_rate=0.05, remove_outliers=False,
+                        make_plots=False),
+        export=True, save_test=False,
+    )
+    block_scenes, block_dirs, block_ids = [], [], []
+    for r in records:
+        if not r.camera_uids:
+            continue
+        d = os.path.join(str(tmp_path / "model"), "split_result", "visible",
+                         r.partition_id, f"partition_{r.partition_id}")
+        block_scenes.append(load_colmap_scene(d))
+        block_dirs.append(os.path.join(d, "output"))
+        block_ids.append(r.partition_id)
+
+    cfg = _cfg()
+    cfg.optim.iterations = 60
+    cfg.optim.densify_from_iter = 10_000
+    cfg.test_iterations = [40]
+    progress = {}
+
+    def mark(bid, **kw):
+        progress.setdefault(bid, {}).update(kw)
+
+    # phase 1: "crash" after iteration 40 (run only 40 of 60 iterations,
+    # checkpoints every 20)
+    train_blocks_parallel(
+        block_scenes, cfg, mesh=block_mesh(4), log_fn=None,
+        iterations=40, block_dirs=block_dirs, block_ids=block_ids,
+        progress_fn=mark, checkpoint_interval=20,
+    )
+    for d, bid in zip(block_dirs, block_ids):
+        assert os.path.exists(os.path.join(d, FLEET_CKPT_NAME))
+        assert progress[bid]["ckpt_iter"] >= 20
+        assert progress[bid]["eval_iter"] == 40  # test_iterations ran
+        assert os.path.exists(os.path.join(d, "train_log.jsonl"))  # TB/JSONL
+
+    # phase 2: resume to completion; the loop must START past iter 20
+    logs = []
+    states = train_blocks_parallel(
+        block_scenes, cfg, mesh=block_mesh(4), log_fn=logs.append,
+        block_dirs=block_dirs, block_ids=block_ids,
+        progress_fn=mark, checkpoint_interval=20, resume=True,
+    )
+    assert any("resuming from iteration 40" in ln for ln in logs), logs
+    assert len(states) == len(block_scenes)
+    # rolling checkpoint now records the final iteration
+    for d in block_dirs:
+        st0 = init_state(block_scenes[0], cfg, (64, 48), jax.random.PRNGKey(0))
+        _, it = ckpt.load(os.path.join(d, FLEET_CKPT_NAME), st0)
+        assert it == 60

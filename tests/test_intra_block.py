@@ -86,3 +86,63 @@ def test_sharded_train_step_reduces_loss(rng):
     # params stayed sharded (no silent replication)
     shard_shapes = {s.data.shape for s in p_sh["xyz"].addressable_shards}
     assert shard_shapes == {(256 // 8, 3)}
+
+
+def test_sharded_full_trainer_with_densify(rng):
+    """The FULL intra-block trainer: appearance net + densify stats + a
+    shard-local densify/prune pass; loss decreases and the population can
+    grow while everything stays sharded."""
+    from pcp_tpu.models.appearance import init_appearance
+    from pcp_tpu.parallel.intra_block import (
+        balance_for_sharding,
+        make_sharded_densify,
+        make_sharded_train_step_full,
+        shard_tree,
+    )
+    from pcp_tpu.train import optim
+    from pcp_tpu.train.step import TrainState
+
+    params, alive, intrin = _setup(rng)
+    bg = jnp.zeros(3)
+    viewmat = jnp.eye(4)
+    gt, _ = render_gaussians(
+        params, alive, viewmat, intrin, (W, H), bg, 0,
+        max_per_tile=128, max_pairs=1 << 14,
+    )
+    gt = jnp.clip(gt, 0, 1)
+
+    mesh = gauss_mesh(8)
+    noisy = dict(params)
+    noisy["f_dc"] = params["f_dc"] + 0.3
+    # balance alive across shards so every shard has clone-target free slots
+    noisy, alive_b = balance_for_sharding(noisy, alive, 8)
+    p_sh, a_sh = shard_params(noisy, alive_b, mesh)
+    app = init_appearance(jax.random.PRNGKey(2), (W, H))
+    state = TrainState(
+        params=p_sh, app=app,
+        opt_g=shard_tree(optim.init_adam(p_sh), mesh),
+        opt_a=optim.init_adam(app),
+        alive=a_sh,
+        stats=shard_tree(G.init_densify_stats(256), mesh),
+    )
+    ocfg = OptimConfig(capacity=256, max_per_tile=128, pairs_per_gaussian=64,
+                       densify_grad_threshold=0.0)
+    step = make_sharded_train_step_full(mesh, ocfg, (W, H),
+                                        use_appearance=True)
+    losses = []
+    for _ in range(25):
+        state, m = step(state, viewmat, intrin, gt, jnp.int32(0), bg,
+                        jnp.float32(3.0), 0)
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0] * 0.8, losses[:3] + losses[-3:]
+
+    alive_before = int(np.asarray(state.alive).sum())
+    densify = make_sharded_densify(mesh, ocfg)
+    state = densify(state, jax.random.PRNGKey(5), jnp.float32(3.0), False)
+    alive_after = int(np.asarray(state.alive).sum())
+    assert alive_after > alive_before  # threshold 0 clones every visible one
+    # still sharded after densify (no silent replication)
+    shard_shapes = {s.data.shape for s in state.params["xyz"].addressable_shards}
+    assert shard_shapes == {(256 // 8, 3)}
+    # densify stats were reset
+    assert float(np.asarray(state.stats["denom"]).sum()) == 0.0

@@ -1,8 +1,10 @@
 """Per-stage timing of the train step on the real TPU chip.
 
-Times each pipeline stage in isolation (preprocess / binning / fwd
-composite / fwd+bwd / adam) plus the full step, chaining state between
-iterations so the axon runtime cannot memoize identical executions.
+Times each pipeline stage in isolation (preprocess / binning / att build /
+fwd render / fwd+bwd / full step) on the CANONICAL bench scene
+(tools/bench_scene.py), chaining state between iterations so the axon
+runtime cannot memoize identical executions. The successive numbers are
+what bench.py embeds as `breakdown`.
 
 Usage: PYTHONPATH=/root/repo:/root/.axon_site python tools/profile_stages.py
 """
@@ -10,30 +12,15 @@ Usage: PYTHONPATH=/root/repo:/root/.axon_site python tools/profile_stages.py
 from __future__ import annotations
 
 import json
+import os
+import sys
 import time
 
 import numpy as np
 
-W, H = 800, 600
-CAPACITY = 1 << 17
-N_POINTS = 100_000
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 ITERS = 10
-
-
-def timed(fn, args, n=ITERS, warmup=2):
-    import jax
-
-    out = None
-    for _ in range(warmup):
-        out = fn(*args)
-        args = (out if isinstance(out, tuple) else (out,))[:1] + args[1:] \
-            if False else args
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for i in range(n):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / n * 1000.0  # ms
 
 
 def main():
@@ -42,25 +29,25 @@ def main():
 
     from pcp_tpu.models import gaussians as G
     from pcp_tpu.models.appearance import init_appearance
-    from pcp_tpu.ops import binning, rasterize
-    from pcp_tpu.ops.projection import TILE, CameraIntrin, preprocess
+    from pcp_tpu.ops import binning
+    from pcp_tpu.ops.projection import TILE, preprocess
     from pcp_tpu.train import optim
     from pcp_tpu.train.config import OptimConfig
     from pcp_tpu.train.step import TrainState, make_train_step, render_gaussians
+    from tools.bench_scene import (
+        CAPACITY,
+        H,
+        MAX_PER_TILE,
+        W,
+        camera,
+        make_scene,
+    )
 
     rng = np.random.default_rng(0)
-    xyz = np.stack(
-        [rng.uniform(-20, 20, N_POINTS), rng.uniform(-20, 20, N_POINTS),
-         rng.uniform(2, 60, N_POINTS)], -1,
-    ).astype(np.float32)
-    rgb = rng.uniform(0, 1, (N_POINTS, 3)).astype(np.float32)
-    gcfg = G.GaussianConfig(sh_degree=3, capacity=CAPACITY)
-    params, alive = G.create_from_pcd(xyz, rgb, gcfg)
-    viewmat = jnp.eye(4)
-    intrin = CameraIntrin(fx=jnp.float32(700.0), fy=jnp.float32(700.0),
-                          cx=jnp.float32(W / 2), cy=jnp.float32(H / 2))
+    params, alive = make_scene(rng)
+    viewmat, intrin = camera()
     background = jnp.zeros(3)
-    ocfg = OptimConfig(capacity=CAPACITY, max_per_tile=512,
+    ocfg = OptimConfig(capacity=CAPACITY, max_per_tile=MAX_PER_TILE,
                        pairs_per_gaussian=16)
     tiles_x = (W + TILE - 1) // TILE
     tiles_y = (H + TILE - 1) // TILE
@@ -72,7 +59,7 @@ def main():
 
     results = {}
 
-    # stage: preprocess (chain xyz by adding 0-mean jitter derived from out)
+    # stage: preprocess (chain xyz by adding tiny jitter derived from out)
     @jax.jit
     def prep_fn(x):
         p = preprocess(x, scales, params["rotation"], opac, sh, viewmat,
@@ -93,17 +80,17 @@ def main():
     def bin_fn(rect, depths):
         b = binning.bin_gaussians(rect, depths, tiles_x, tiles_y,
                                   max_pairs=max_pairs,
-                                  max_per_tile=ocfg.max_per_tile)
-        return b.tile_gauss, b.tile_count, b.n_pairs
+                                  max_per_tile=MAX_PER_TILE)
+        return b.tile_gauss, b.tile_count, b.n_pairs, b.max_tile_load, \
+            b.n_dropped
 
     rect, depths = out[1], out[2]
     d = depths
-    tg = None
     r = bin_fn(rect, d)
     jax.block_until_ready(r)
     t0 = time.perf_counter()
     for i in range(ITERS):
-        d = d + 1e-7
+        d = d + 1e-6
         r = bin_fn(rect, d)
     jax.block_until_ready(r)
     results["binning_ms"] = (time.perf_counter() - t0) / ITERS * 1e3
@@ -113,8 +100,7 @@ def main():
     def fwd_fn(x):
         img, aux = render_gaussians(
             {**params, "xyz": x}, alive, viewmat, intrin, (W, H),
-            background, 3, max_per_tile=ocfg.max_per_tile,
-            max_pairs=max_pairs,
+            background, 3, max_per_tile=MAX_PER_TILE, max_pairs=max_pairs,
         )
         return x + 1e-12 * jnp.mean(img), img
 
@@ -135,7 +121,7 @@ def main():
         def loss(p):
             img, _ = render_gaussians(
                 p, alive, viewmat, intrin, (W, H), background, 3,
-                max_per_tile=ocfg.max_per_tile, max_pairs=max_pairs,
+                max_per_tile=MAX_PER_TILE, max_pairs=max_pairs,
             )
             return jnp.mean(jnp.abs(img - gt))
 
@@ -167,10 +153,8 @@ def main():
     results["full_step_ms"] = (time.perf_counter() - t0) / ITERS * 1e3
 
     results["n_pairs"] = int(r[2])
-    results["max_tile_load"] = int(np.asarray(
-        binning.bin_gaussians(rect, depths, tiles_x, tiles_y,
-                              max_pairs=max_pairs,
-                              max_per_tile=ocfg.max_per_tile).max_tile_load))
+    results["max_tile_load"] = int(r[3])
+    results["n_dropped"] = int(r[4])
     print(json.dumps({k: (round(v, 2) if isinstance(v, float) else v)
                       for k, v in results.items()}))
 
