@@ -249,8 +249,13 @@ def _local_alpha(mx, my, ca, cb, cc, op, valid, px, py):
     return alpha, dx, dy
 
 
-NA = 16  # packed attribute rows: mx my ca cb cc r g b op valid pad...
-_I_MX, _I_MY, _I_CA, _I_CB, _I_CC, _I_R, _I_G, _I_B, _I_OP, _I_VALID = range(10)
+NA = 9  # packed attribute rows: mx my ca cb cc r g b op
+# Slot validity is carried by opacity: rasterize zeroes every attribute of
+# pad/dead slots (ids < 0), and op == 0 already composites to exactly
+# nothing (alpha < 1/255 skip), so a separate valid plane would only pad
+# the gather/scatter/DMA traffic that scales with every tile pair.
+_I_MX, _I_MY, _I_CA, _I_CB, _I_CC, _I_R, _I_G, _I_B, _I_OP = range(9)
+_I_VALID = _I_OP  # validity test is op > 0
 
 
 def _row(att, j):

@@ -15,9 +15,14 @@ Conventions (COLMAP / reference):
 
 from __future__ import annotations
 
+import os as _os
 from typing import Dict, NamedTuple
 
 import jax.numpy as jnp
+
+# Lossless tight tile rects (ellipse AABB at the alpha >= 1/255 iso-contour)
+# instead of the reference's circumscribed 3-sigma circle. A/B: PCP_TIGHT_RECT=0.
+TIGHT_RECT = _os.environ.get("PCP_TIGHT_RECT", "1") == "1"
 
 from pcp_tpu.utils.general import covariance_from_scaling_rotation
 from pcp_tpu.utils.sh import eval_sh_color
@@ -120,16 +125,33 @@ def preprocess(
     dirs = dirs / jnp.maximum(jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-12)
     rgb = eval_sh_color(sh_degree, sh, dirs)
 
-    # --- tile rect (getRect, auxiliary.h:46-59) ---
+    # --- tile rect ---
+    # The reference bounds every splat by the circumscribed circle of its
+    # 3-sigma ellipse (getRect, auxiliary.h:46-59). Both the CUDA kernel
+    # (forward.cu:329-338) and ours skip any sample with alpha < 1/255, so
+    # every pair outside {q(d) <= q_cap}, q_cap = min(9, 2 ln(255 op)), has
+    # EXACTLY zero contribution and gradient. TIGHT_RECT therefore bounds
+    # by that ellipse's axis-aligned box instead — per-axis half-width
+    # sqrt(q_cap * Sigma_xx/yy) — which is output-lossless but cuts pair
+    # count ~10-30% (more on real scenes full of low-opacity survivors);
+    # every downstream stage (sort, gather, kernel, scatter) scales with it.
     tiles_x = (w + TILE - 1) // TILE
     tiles_y = (h + TILE - 1) // TILE
-    x0 = jnp.clip(((means2d[:, 0] - radius) / TILE).astype(jnp.int32), 0, tiles_x)
-    y0 = jnp.clip(((means2d[:, 1] - radius) / TILE).astype(jnp.int32), 0, tiles_y)
+    if TIGHT_RECT:
+        q_cap = jnp.minimum(
+            9.0, 2.0 * jnp.log(jnp.maximum(255.0 * opacities, 1.0 + 1e-6))
+        )
+        rx = jnp.sqrt(q_cap * a) + 0.5   # half-pixel cushion vs fp boundary
+        ry = jnp.sqrt(q_cap * c) + 0.5
+    else:
+        rx = ry = radius
+    x0 = jnp.clip(((means2d[:, 0] - rx) / TILE).astype(jnp.int32), 0, tiles_x)
+    y0 = jnp.clip(((means2d[:, 1] - ry) / TILE).astype(jnp.int32), 0, tiles_y)
     x1 = jnp.clip(
-        ((means2d[:, 0] + radius + TILE - 1) / TILE).astype(jnp.int32), 0, tiles_x
+        ((means2d[:, 0] + rx + TILE - 1) / TILE).astype(jnp.int32), 0, tiles_x
     )
     y1 = jnp.clip(
-        ((means2d[:, 1] + radius + TILE - 1) / TILE).astype(jnp.int32), 0, tiles_y
+        ((means2d[:, 1] + ry + TILE - 1) / TILE).astype(jnp.int32), 0, tiles_y
     )
 
     # Opacity below 1/255 can never contribute (renderCUDA skips alpha <

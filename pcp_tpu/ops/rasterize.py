@@ -223,14 +223,9 @@ def composite_fused(
     rgb = prep["rgb"]
     n = m.shape[0]
     pack = jnp.concatenate(
-        [
-            m, c, rgb,
-            prep["opacity"][:, None],
-            jnp.ones((n, 1), jnp.float32),          # valid slot (overwritten)
-            jnp.zeros((n, pc.NA - 10), jnp.float32),
-        ],
+        [m, c, rgb, prep["opacity"][:, None]],
         axis=1,
-    )                                               # (N, NA)
+    )                                               # (N, NA=9)
     att = pack[idc.reshape(-1)].reshape(nt_pad, k_pad, pc.NA)
     att = att * valid[..., None]                    # pads: opacity/valid -> 0
     att = jnp.transpose(att, (0, 2, 1))             # (nt, NA, K)
