@@ -55,9 +55,22 @@ def evaluate_images(
                 (np.asarray(rc) * 255).astype(np.uint8)
             ).save(os.path.join(save_cc_dir, name))
         chw = lambda x: jnp.transpose(x, (2, 0, 1))
+        s = float(ssim(chw(rc), chw(g)))
+        if not (-1.0 <= s <= 1.0001):
+            # Out of SSIM's mathematical range: observed once after a long
+            # in-process pipeline (partition->train->render->metrics, CPU
+            # backend) with per-view values like 11.1 — consistent with a
+            # stale/aliased buffer, not with this formula. Recompute on
+            # fresh host copies and surface the event loudly.
+            rc2 = jnp.asarray(np.array(rc, np.float32))
+            g2 = jnp.asarray(np.array(g, np.float32))
+            s2 = float(ssim(chw(rc2), chw(g2)))
+            print(f"[metrics] WARN: SSIM {s:.4f} out of [-1, 1] for {name}; "
+                  f"recomputed on fresh buffers -> {s2:.4f}")
+            s = s2
         rows[name] = {
             "PSNR": float(psnr(rc[None], g[None])[0]),
-            "SSIM": float(ssim(chw(rc), chw(g))),
+            "SSIM": s,
             "LPIPS": float(lpips_fn(rc, g)) if lpips_fn else None,
         }
     mean = {}

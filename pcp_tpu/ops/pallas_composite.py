@@ -54,8 +54,12 @@ T_EPS = 1.0e-4
 
 TB = int(__import__("os").environ.get("PCP_TB", "8"))
            # tiles per block (sublane-divisible)
-CH = 128   # Gaussian slots per chunk = one lane width
 import os as _os
+
+CH = int(_os.environ.get("PCP_CH", "128"))
+           # Gaussian slots per chunk; the MXU triangular-matmul scans cost
+           # O(CH) per slot, so smaller CH = fewer scan FLOPs but more grid
+           # steps (and <128 underfills the lane dim)
 
 PP = int(_os.environ.get("PCP_PP", "256"))
            # pixel slice per backward grid step: = P (no slicing), so each

@@ -39,6 +39,37 @@ ALPHA_MIN = 1.0 / 255.0
 ALPHA_MAX = 0.99
 T_EPS = 1.0e-4
 
+# Backward-path A/B knob for the per-Gaussian gradient reduction in
+# composite_fused (see _gather_rows): "add" = XLA duplicate-index
+# scatter-add (the autodiff default); "off" = replace the scatter with a
+# cheap full-reduce that keeps the kernel VJP alive but produces garbage
+# dpack — MEASUREMENT ONLY (tools/exp_step_parts3.py).
+import os as _os
+
+_GRAD_SCATTER = _os.environ.get("PCP_GRAD_SCATTER", "add")
+
+
+@jax.custom_vjp
+def _gather_rows_noscatter(pack, idc_flat):
+    return pack[idc_flat]
+
+
+def _grns_fwd(pack, idc_flat):
+    return pack[idc_flat], (pack.shape, idc_flat.shape)
+
+
+def _grns_bwd(res, g):
+    import numpy as np
+
+    pack_shape, idc_shape = res
+    # reads g (keeps the kernel VJP alive) but does no scatter
+    dpack = jnp.full(pack_shape, jnp.sum(g) * 1e-30, g.dtype)
+    didc = np.zeros(idc_shape, dtype=jax.dtypes.float0)
+    return dpack, didc
+
+
+_gather_rows_noscatter.defvjp(_grns_fwd, _grns_bwd)
+
 
 def _chunk_body(carry, chunk, *, n_pix):
     """Composite one chunk of Gaussians into all tiles of a batch.
@@ -226,7 +257,11 @@ def composite_fused(
         [m, c, rgb, prep["opacity"][:, None]],
         axis=1,
     )                                               # (N, NA=9)
-    att = pack[idc.reshape(-1)].reshape(nt_pad, k_pad, pc.NA)
+    if _GRAD_SCATTER == "off":
+        att = _gather_rows_noscatter(pack, idc.reshape(-1))
+    else:
+        att = pack[idc.reshape(-1)]
+    att = att.reshape(nt_pad, k_pad, pc.NA)
     att = att * valid[..., None]                    # pads: opacity/valid -> 0
     att = jnp.transpose(att, (0, 2, 1))             # (nt, NA, K)
     color, tfin = pc.composite_tiles(att, tiles_x)
