@@ -18,6 +18,7 @@ from __future__ import annotations
 import os as _os
 from typing import Dict, NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 # Lossless tight tile rects (ellipse AABB at the alpha >= 1/255 iso-contour)
@@ -59,7 +60,24 @@ def preprocess(
     Keys: means2d (N,2) px, depths (N,), conics (N,3) [a,b,c] of the inverse
     2D covariance, radii (N,) px (0 = culled), rgb (N,3), opacity (N,),
     rect (N,4) int32 tile bounds [x0,y0,x1,y1) clamped to the tile grid.
+
+    All geometry matmuls run at HIGHEST precision: TPU matmuls default to
+    bf16 operands, and bf16 in ``xyz @ rot.T`` alone is multiple PIXELS of
+    projection error at scene scale (cov2d/conic suffer similarly). These
+    are tiny-K batched matmuls — fp32 costs nothing measurable, and keeps
+    the TPU forward bit-comparable to the CPU backend.
     """
+    with jax.default_matmul_precision("highest"):
+        return _preprocess_body(
+            xyz, scales, quats, opacities, sh, viewmat, intrin, image_size,
+            sh_degree, tan_fov, means2d_offset,
+        )
+
+
+def _preprocess_body(
+    xyz, scales, quats, opacities, sh, viewmat, intrin, image_size,
+    sh_degree, tan_fov, means2d_offset,
+):
     w, h = int(image_size[0]), int(image_size[1])
     n = xyz.shape[0]
     rot = viewmat[:3, :3]

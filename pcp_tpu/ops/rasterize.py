@@ -48,6 +48,12 @@ import os as _os
 
 _GRAD_SCATTER = _os.environ.get("PCP_GRAD_SCATTER", "add")
 
+# When True, rasterize(use_pallas=None) picks the XLA composite even on the
+# TPU backend. Used by cross-device parity tools that run the same program
+# on a CPU jax.Device inside a TPU-backend process (the Mosaic kernel can't
+# lower for CPU devices outside interpret mode).
+FORCE_XLA = False
+
 
 @jax.custom_vjp
 def _gather_rows_noscatter(pack, idc_flat):
@@ -108,7 +114,10 @@ def _chunk_body(carry, chunk, *, n_pix):
     cum = jnp.cumsum(log1ma, axis=1)
     t_excl = trans[:, None, :] * jnp.exp(cum - log1ma)      # T before k
     w = alpha * t_excl                                      # (B, CH, P)
-    color = color + jnp.einsum("bkp,bkc->bpc", w, rgb)
+    # HIGHEST: this is the reference/parity path — keep it fp32-exact on
+    # TPU (default bf16 operand rounding costs ~1e-3 in the blend).
+    color = color + jnp.einsum("bkp,bkc->bpc", w, rgb,
+                               precision=jax.lax.Precision.HIGHEST)
     trans = trans * jnp.exp(cum[:, -1, :])
     done = done_k[:, -1, :]
     return (color, trans, done), None
@@ -320,7 +329,7 @@ def rasterize(
         max_pairs=max_pairs, max_per_tile=max_per_tile,
     )
     if use_pallas is None:
-        use_pallas = jax.default_backend() == "tpu"
+        use_pallas = jax.default_backend() == "tpu" and not FORCE_XLA
     if use_pallas:
         image, final_t = composite_fused(prep, bins, image_size, background)
     else:

@@ -47,6 +47,15 @@ def color_correct(img, ref, num_iters: int = 5, eps: float = 0.5 / 255):
     """
     if img.shape[-1] != ref.shape[-1]:
         raise ValueError("img and ref channel counts must match")
+    import jax
+
+    with jax.default_matmul_precision("highest"):
+        return _color_correct_body(img, ref, num_iters, eps)
+
+
+def _color_correct_body(img, ref, num_iters, eps):
+    # fp32 matmuls are load-bearing: the A^T A normal equations square the
+    # pixel sums, and TPU-default bf16 operands corrupt the solve.
     num_channels = img.shape[-1]
     img_mat = img.reshape(-1, num_channels).astype(jnp.float32)
     ref_mat = ref.reshape(-1, num_channels).astype(jnp.float32)

@@ -43,32 +43,36 @@ def _gaussian_window(window_size: int, sigma: float):
         return jnp.asarray(g)
 
 
-@functools.lru_cache(maxsize=16)
-def _blur_matrix(n: int, window_size: int, sigma: float):
-    """(n, n) banded matrix B with (B @ v) = zero-padded 'same' Gaussian
-    blur of v — the separable blur becomes two dense matmuls on the MXU,
-    where a C=3 depthwise conv leaves the 128-lane datapath ~98% idle."""
-    import jax
-    import numpy as np
-
-    g = np.asarray(_gaussian_window(window_size, sigma))
+def _blur_1d(img, axis: int, window_size: int, sigma: float):
+    """Zero-padded 'same' Gaussian blur along one axis as a fused
+    window_size-tap shift-and-add (pure VPU work, fp32 throughout)."""
+    g = _gaussian_window(window_size, sigma)
     half = window_size // 2
-    m = np.zeros((n, n), np.float32)
-    for o in range(-half, half + 1):
-        idx = np.arange(max(0, -o), min(n, n - o))
-        m[idx, idx + o] = g[o + half]
-    with jax.ensure_compile_time_eval():
-        return jnp.asarray(m)
+    pad = [(0, 0)] * img.ndim
+    pad[axis] = (half, half)
+    x = jnp.pad(img, pad)
+    n = img.shape[axis]
+    out = None
+    for k in range(window_size):
+        sl = lax.slice_in_dim(x, k, k + n, axis=axis)
+        term = g[k] * sl
+        out = term if out is None else out + term
+    return out
 
 
 def _depthwise_blur(img, window_size: int, sigma: float):
     """Separable depthwise Gaussian filter. img: (C, H, W). Exact
-    zero-padded 'same' semantics via banded matmuls."""
-    c, h, w = img.shape
-    bh = _blur_matrix(h, window_size, sigma)     # (H, H)
-    bw = _blur_matrix(w, window_size, sigma)     # (W, W)
-    x = jnp.einsum("ij,cjw->ciw", bh, img, preferred_element_type=jnp.float32)
-    return jnp.einsum("cih,wh->ciw", x, bw, preferred_element_type=jnp.float32)
+    zero-padded 'same' semantics.
+
+    fp32 is load-bearing, not a nicety: sigma = blur(x^2) - mu^2 cancels
+    ~1e-3 signals, and computing the blur with TPU-default bf16 matmul
+    operands turns the SSIM gradient into garbage (measured on-chip:
+    |g| inflated 10-1000x, train loss diverges). The shift-and-add form
+    is exact fp32 on the VPU and cheaper than an fp32 dense banded matmul
+    (11 taps vs an H- or W-sized contraction on the MXU).
+    """
+    x = _blur_1d(img, 1, window_size, sigma)
+    return _blur_1d(x, 2, window_size, sigma)
 
 
 def ssim(img1, img2, window_size: int = 11, sigma: float = 1.5,

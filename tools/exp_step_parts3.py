@@ -87,6 +87,15 @@ def main():
     diff0 = {kk: pr0[kk] for kk in DIFF}
     static0 = {kk: v for kk, v in pr0.items() if kk not in DIFF}
 
+    @jax.jit
+    def render_fwd(diff_leaves, static_leaves, eps):
+        diff_leaves = dict(diff_leaves,
+                           means2d=diff_leaves["means2d"] + eps * 1e-9)
+        return render_loss(diff_leaves, static_leaves)
+
+    # if binning constant-folds under the static rect/depths, this is
+    # ~gather+kernel fwd only (~6 ms); if it runs live, ~binning+6
+    bench("render_fwd_ms", render_fwd, diff0, static0)
     bench("render_fwdbwd_ms", render_fwdbwd, diff0, static0)
 
     # ---- preprocess fwd+bwd, SH degree share ----
