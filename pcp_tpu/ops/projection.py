@@ -25,7 +25,7 @@ import jax.numpy as jnp
 # instead of the reference's circumscribed 3-sigma circle. A/B: PCP_TIGHT_RECT=0.
 TIGHT_RECT = _os.environ.get("PCP_TIGHT_RECT", "1") == "1"
 
-from pcp_tpu.utils.general import covariance_from_scaling_rotation
+from pcp_tpu.utils.general import quat_to_rotmat
 from pcp_tpu.utils.sh import eval_sh_color
 
 NEAR_PLANE = 0.2  # in_frustum near clip (auxiliary.h:128-134)
@@ -83,7 +83,15 @@ def _preprocess_body(
     rot = viewmat[:3, :3]
     trn = viewmat[:3, 3]
 
-    p_view = xyz @ rot.T + trn                     # (N, 3) camera space
+    # All the "matmuls" below (p_view, J@rot, T Sigma T^T, campos) are
+    # tiny-K contractions expanded into explicit mul-adds: exact fp32 on
+    # the VPU with no MXU pass. TPU-default bf16 matmul operands cost
+    # ~pixels of projection error, and fp32 MXU (HIGHEST) measured ~7 ms
+    # per step in layout shuffles for these shapes.
+    x0, x1, x2 = xyz[:, 0], xyz[:, 1], xyz[:, 2]
+    p_view = jnp.stack(
+        [rot[i, 0] * x0 + rot[i, 1] * x1 + rot[i, 2] * x2 + trn[i]
+         for i in range(3)], axis=-1)               # (N, 3) camera space
     depths = p_view[:, 2]
     in_front = depths > NEAR_PLANE
 
@@ -106,26 +114,28 @@ def _preprocess_body(
     tx = jnp.clip(p_view[:, 0] * zinv, -lim_x, lim_x) * depths
     ty = jnp.clip(p_view[:, 1] * zinv, -lim_y, lim_y) * depths
 
-    cov3d = covariance_from_scaling_rotation(scales, quats)  # (N, 3, 3)
     z = depths
-    zero = jnp.zeros_like(z)
-    # J rows (forward.cu:95-99)
+    # J rows (forward.cu:95-99); J = [[j00, 0, j02], [0, j11, j12]]
     j00 = intrin.fx / z
     j02 = -intrin.fx * tx / (z * z)
     j11 = intrin.fy / z
     j12 = -intrin.fy * ty / (z * z)
-    J = jnp.stack(
-        [
-            jnp.stack([j00, zero, j02], axis=-1),
-            jnp.stack([zero, j11, j12], axis=-1),
-        ],
-        axis=-2,
-    )  # (N, 2, 3)
-    T = J @ rot  # (N, 2, 3)
-    cov2d = T @ cov3d @ jnp.swapaxes(T, -1, -2)  # (N, 2, 2)
-    a = cov2d[:, 0, 0] + LOW_PASS
-    c = cov2d[:, 1, 1] + LOW_PASS
-    b = cov2d[:, 0, 1]
+    # T = J @ rot, expanded over J's 4 nonzeros: (N, 2, 3) as 6 vectors
+    T0 = [j00 * rot[0, k] + j02 * rot[2, k] for k in range(3)]
+    T1 = [j11 * rot[1, k] + j12 * rot[2, k] for k in range(3)]
+    # cov2D = T Sigma T^T with Sigma = L L^T, L = R(q) * diag(s)
+    # (covariance_from_scaling_rotation): let M = T @ L (N, 2, 3), then
+    # a = |M0|^2, c = |M1|^2, b = M0 . M1 — 18 mul-adds per Gaussian.
+    R = quat_to_rotmat(quats)                       # (N, 3, 3)
+    s0, s1, s2 = scales[:, 0], scales[:, 1], scales[:, 2]
+    sk = (s0, s1, s2)
+    M0 = [sk[k] * (T0[0] * R[:, 0, k] + T0[1] * R[:, 1, k]
+                   + T0[2] * R[:, 2, k]) for k in range(3)]
+    M1 = [sk[k] * (T1[0] * R[:, 0, k] + T1[1] * R[:, 1, k]
+                   + T1[2] * R[:, 2, k]) for k in range(3)]
+    a = M0[0] * M0[0] + M0[1] * M0[1] + M0[2] * M0[2] + LOW_PASS
+    c = M1[0] * M1[0] + M1[1] * M1[1] + M1[2] * M1[2] + LOW_PASS
+    b = M0[0] * M1[0] + M0[1] * M1[1] + M0[2] * M1[2]
 
     det = a * c - b * b
     det_ok = det > 0.0
@@ -138,7 +148,9 @@ def _preprocess_body(
     radius = jnp.ceil(3.0 * jnp.sqrt(lam1))
 
     # --- SH -> clamped RGB (computeColorFromSH) ---
-    campos = -rot.T @ trn
+    campos = -jnp.stack(
+        [rot[0, j] * trn[0] + rot[1, j] * trn[1] + rot[2, j] * trn[2]
+         for j in range(3)])
     dirs = xyz - campos
     dirs = dirs / jnp.maximum(jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-12)
     rgb = eval_sh_color(sh_degree, sh, dirs)

@@ -39,14 +39,16 @@ ALPHA_MIN = 1.0 / 255.0
 ALPHA_MAX = 0.99
 T_EPS = 1.0e-4
 
-# Backward-path A/B knob for the per-Gaussian gradient reduction in
-# composite_fused (see _gather_rows): "add" = XLA duplicate-index
-# scatter-add (the autodiff default); "off" = replace the scatter with a
-# cheap full-reduce that keeps the kernel VJP alive but produces garbage
-# dpack — MEASUREMENT ONLY (tools/exp_step_parts3.py).
+# Backward-path knob for the per-Gaussian gradient reduction in
+# composite_fused: "class" (default) = unique-slot scatter + dense
+# per-class row reduction (_gather_rows_classreduce; needs binning v2's
+# tile_slot); "add" = XLA duplicate-index scatter-add (the autodiff
+# default, measured 4.8 ms/step at bench scale); "off" = replace the
+# scatter with a cheap full-reduce that keeps the kernel VJP alive but
+# produces garbage dpack — MEASUREMENT ONLY (tools/exp_step_parts3.py).
 import os as _os
 
-_GRAD_SCATTER = _os.environ.get("PCP_GRAD_SCATTER", "add")
+_GRAD_SCATTER = _os.environ.get("PCP_GRAD_SCATTER", "class")
 
 # When True, rasterize(use_pallas=None) picks the XLA composite even on the
 # TPU backend. Used by cross-device parity tools that run the same program
@@ -75,6 +77,55 @@ def _grns_bwd(res, g):
 
 
 _gather_rows_noscatter.defvjp(_grns_fwd, _grns_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _gather_rows_classreduce(geom, pack, gid_flat, slot_flat,
+                             idx_b, idx_c, idx_d):
+    """Row gather whose backward is a UNIQUE-index scatter into expansion-
+    slot space followed by dense per-class row reductions, instead of the
+    duplicate-index scatter-add autodiff produces for ``pack[gid_flat]``
+    (measured 4.8 ms/step at bench scale).
+
+    Every (tile, k) table entry maps to a distinct binning expansion slot
+    (binning.TileBins.tile_slot), so the scatter has NO duplicates; pairs
+    of the same Gaussian then reduce along the r axis of each class block
+    — (r, cap, NA) sums — which is dense, layout-friendly work.
+
+    geom: (rs, caps, offs) static class geometry (binning.SlotMeta).
+    """
+    return pack[gid_flat]
+
+
+def _grcr_fwd(geom, pack, gid_flat, slot_flat, idx_b, idx_c, idx_d):
+    return pack[gid_flat], (pack.shape, gid_flat.shape, slot_flat,
+                            idx_b, idx_c, idx_d)
+
+
+def _grcr_bwd(geom, res, g):
+    import numpy as np
+
+    rs, caps, offs = geom
+    pack_shape, idx_shape, slot_flat, idx_b, idx_c, idx_d = res
+    na = pack_shape[1]
+    total = offs[3] + rs[3] * caps[3]
+    tgt = jnp.where(slot_flat >= 0, slot_flat, total)
+    buf = jnp.zeros((total, na), g.dtype).at[tgt].set(
+        g, mode="drop", unique_indices=True)
+    o1, o2, o3 = offs[1], offs[2], offs[3]
+    dpack = buf[:o1].reshape(rs[0], caps[0], na).sum(0)
+    db = buf[o1:o2].reshape(rs[1], caps[1], na).sum(0)
+    dc = buf[o2:o3].reshape(rs[2], caps[2], na).sum(0)
+    dd = buf[o3:].reshape(rs[3], caps[3], na).sum(0)
+    for idx, dx in ((idx_b, db), (idx_c, dc), (idx_d, dd)):
+        t = jnp.where(idx >= 0, idx, pack_shape[0])
+        dpack = dpack.at[t].add(dx, mode="drop", unique_indices=True)
+    f0 = lambda a: np.zeros(np.shape(a), dtype=jax.dtypes.float0)
+    return (dpack, np.zeros(idx_shape, dtype=jax.dtypes.float0),
+            f0(slot_flat), f0(idx_b), f0(idx_c), f0(idx_d))
+
+
+_gather_rows_classreduce.defvjp(_grcr_fwd, _grcr_bwd)
 
 
 def _chunk_body(carry, chunk, *, n_pix):
@@ -268,6 +319,17 @@ def composite_fused(
     )                                               # (N, NA=9)
     if _GRAD_SCATTER == "off":
         att = _gather_rows_noscatter(pack, idc.reshape(-1))
+    elif bins.tile_slot is not None and _GRAD_SCATTER != "add":
+        # default for binning v2: unique-slot scatter + dense class reduce
+        slots = bins.tile_slot
+        if (nt_pad, k_pad) != (nt, k):
+            slots = (jnp.full((nt_pad, k_pad), -1, jnp.int32)
+                     .at[:nt, :k].set(slots))
+        meta = bins.slot_meta
+        att = _gather_rows_classreduce(
+            (meta.rs, meta.caps, meta.offs), pack, idc.reshape(-1),
+            slots.reshape(-1), meta.idx_b, meta.idx_c, meta.idx_d,
+        )
     else:
         att = pack[idc.reshape(-1)]
     att = att.reshape(nt_pad, k_pad, pc.NA)
