@@ -40,6 +40,24 @@ def _render_batch(params, alive, background, viewmats, intrins, *, w, h,
     return jax.vmap(one)(viewmats, intrins)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("w", "h", "sh_degree", "max_per_tile", "max_pairs"),
+)
+def _render_metrics_batch(params, alive, background, viewmats, intrins, gts,
+                          *, w, h, sh_degree, max_per_tile, max_pairs):
+    """Batched render + on-device L1/PSNR reduction: only two scalars per
+    view cross the device boundary (training_report, train.py:188-243,
+    evaluates hundreds of test views — per-view host math does not scale)."""
+    from pcp_tpu.utils.image import psnr
+
+    imgs = _render_batch(params, alive, background, viewmats, intrins,
+                         w=w, h=h, sh_degree=sh_degree,
+                         max_per_tile=max_per_tile, max_pairs=max_pairs)
+    l1 = jnp.mean(jnp.abs(imgs - gts), axis=(1, 2, 3))
+    return l1, psnr(imgs, gts)
+
+
 def render_views(
     params,
     alive,
@@ -69,13 +87,55 @@ def render_views(
         group = list(cams[s:s + batch])
         pad = batch - len(group)
         group_p = group + [group[-1]] * pad
-        viewmats = jnp.asarray(np.stack([c.viewmat for c in group_p]))
-        intrins = CameraIntrin(
-            fx=jnp.asarray([c.fx for c in group_p], jnp.float32),
-            fy=jnp.asarray([c.fy for c in group_p], jnp.float32),
-            cx=jnp.asarray([c.width / 2.0 for c in group_p], jnp.float32),
-            cy=jnp.asarray([c.height / 2.0 for c in group_p], jnp.float32),
-        )
+        viewmats, intrins = _group_arrays(group_p)
         imgs = np.asarray(render_batch(viewmats, intrins))
         out.extend(imgs[: len(group)])
     return out
+
+
+def _group_arrays(group_p):
+    viewmats = jnp.asarray(np.stack([c.viewmat for c in group_p]))
+    intrins = CameraIntrin(
+        fx=jnp.asarray([c.fx for c in group_p], jnp.float32),
+        fy=jnp.asarray([c.fy for c in group_p], jnp.float32),
+        cx=jnp.asarray([c.width / 2.0 for c in group_p], jnp.float32),
+        cy=jnp.asarray([c.height / 2.0 for c in group_p], jnp.float32),
+    )
+    return viewmats, intrins
+
+
+def eval_views(
+    params,
+    alive,
+    cams: Sequence[Camera],
+    sh_degree: int,
+    background,
+    *,
+    max_per_tile: int = 1024,
+    pairs_per_gaussian: int = 16,
+    batch: int = 8,
+):
+    """Batched L1/PSNR over cameras of ONE image size; metrics reduce on
+    device (two scalars per view come back, not full frames)."""
+    if not cams:
+        return [], []
+    sizes = {(c.width, c.height) for c in cams}
+    assert len(sizes) == 1, f"one size per call, got {sizes}"
+    w, h = next(iter(sizes))
+    n = params["xyz"].shape[0]
+    l1s: List[float] = []
+    psnrs: List[float] = []
+    for s in range(0, len(cams), batch):
+        group = list(cams[s:s + batch])
+        pad = batch - len(group)
+        group_p = group + [group[-1]] * pad
+        viewmats, intrins = _group_arrays(group_p)
+        gts = jnp.asarray(np.stack([np.asarray(c.gt_image) for c in group_p]))
+        l1, ps = _render_metrics_batch(
+            params, alive, background, viewmats, intrins, gts,
+            w=w, h=h, sh_degree=sh_degree, max_per_tile=max_per_tile,
+            max_pairs=pairs_per_gaussian * n,
+        )
+        l1s.extend(np.asarray(l1)[: len(group)].tolist())
+        psnrs.extend(np.asarray(ps)[: len(group)].tolist())
+    return l1s, psnrs

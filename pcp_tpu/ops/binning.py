@@ -45,6 +45,9 @@ import os as _os
 # 0.9 iters/s SLOWER end-to-end. Set PCP_PAIR_SORT=0 for the fast-path A/B.
 FORCE_PAIR_SORT = _os.environ.get("PCP_PAIR_SORT", "1") == "1"
 DEPTH_ORDER_EXPANSION = _os.environ.get("PCP_DEPTH_ORDER", "1") == "1"
+# v2 sort payload: 0 (default) = Gaussian id; 1 = global expansion slot id
+# (enables TileBins.tile_slot and the class-reduce backward A/B).
+SLOT_PAYLOAD = _os.environ.get("PCP_SLOT_PAYLOAD", "0") == "1"
 
 
 class SlotMeta(NamedTuple):
@@ -273,8 +276,9 @@ CAPC_DIV = int(_os.environ.get("PCP_CAPC_DIV", "128"))  # capC = N / 128
 CAPD_DIV = int(_os.environ.get("PCP_CAPD_DIV", "4096"))  # capD = N / 4096
 
 
-def _expand_rows(x0, y0, wx, dq, counts, r, tiles_x, depth_bits, slot_off):
-    """(C,) per-row rect/depth data -> (C*r,) sort keys + global slot ids.
+def _expand_rows(x0, y0, wx, dq, gid, counts, r, tiles_x, depth_bits,
+                 slot_off):
+    """(C,) per-row rect/depth/id data -> (C*r,) sort keys + payload.
 
     Slot j of a row maps to tile (x0 + j % wx, y0 + j // wx) via the exact
     float-reciprocal div (no hardware integer division); slots >= count get
@@ -285,10 +289,13 @@ def _expand_rows(x0, y0, wx, dq, counts, r, tiles_x, depth_bits, slot_off):
     natural (C, r) orientation puts r (= 16/64) minor and idles 87-50% of
     the VPU datapath for every op in this chain. The flat order is r-major
     (slot = slot_off + r_idx * C + row), which is irrelevant pre-sort
-    (is_stable=False); the payload is the GLOBAL SLOT ID, from which the
-    owning Gaussian is recovered post-sort for just the (nt, K) table
-    (slot_to_gid) — and which the composite backward uses for its
-    unique-index gradient scatter."""
+    (is_stable=False).
+
+    Payload: the owning Gaussian id (default), or with PCP_SLOT_PAYLOAD=1
+    the GLOBAL SLOT ID — from which the Gaussian is recovered post-sort
+    for just the (nt, K) table (slot_to_gid) and which the composite
+    backward's class-reduce mode needs for its unique-index scatter
+    (an A/B path that currently loses on chip; see rasterize.py)."""
     c = x0.shape[0]
     local = jnp.arange(r, dtype=jnp.int32)[:, None]            # (r, 1)
     valid = local < counts[None, :]
@@ -302,7 +309,11 @@ def _expand_rows(x0, y0, wx, dq, counts, r, tiles_x, depth_bits, slot_off):
         (tile << jnp.uint32(depth_bits)) | dq[None, :],
         jnp.uint32(0xFFFFFFFF),
     )
-    pay = slot_off + local * c + jnp.arange(c, dtype=jnp.int32)[None, :]
+    if SLOT_PAYLOAD:
+        pay = slot_off + local * c + jnp.arange(c, dtype=jnp.int32)[None, :]
+        pay = jnp.broadcast_to(pay, key.shape)
+    else:
+        pay = jnp.broadcast_to(gid[None, :], key.shape)
     return key.reshape(-1), pay.reshape(-1)
 
 
@@ -352,9 +363,11 @@ def bin_gaussians_v2(
     for rr, cc in zip(rs[:-1], caps[:-1]):
         offs = offs + (offs[-1] + rr * cc,)
 
+    gid_all = jnp.arange(n, dtype=jnp.int32)
+
     # class A: dense rows, footprint <= R1
     counts_a = jnp.where(counts <= R1, counts, 0)
-    key_a, pay_a = _expand_rows(x0, y0, wx, dq, counts_a, R1,
+    key_a, pay_a = _expand_rows(x0, y0, wx, dq, gid_all, counts_a, R1,
                                 tiles_x, depth_bits, offs[0])
 
     def table(mask, cap, r, off):
@@ -363,7 +376,7 @@ def bin_gaussians_v2(
         src = jnp.maximum(idx, 0)
         cnt = jnp.where(ok, jnp.minimum(counts[src], r), 0)
         key, pay = _expand_rows(
-            x0[src], y0[src], wx[src], dq[src], cnt, r,
+            x0[src], y0[src], wx[src], dq[src], src, cnt, r,
             tiles_x, depth_bits, off,
         )
         # drops: whole Gaussians past the table cap + per-row truncation
@@ -387,7 +400,7 @@ def bin_gaussians_v2(
 
     keys = jnp.concatenate([key_a, key_b, key_c, key_d])
     pays = jnp.concatenate([pay_a, pay_b, pay_c, pay_d])
-    s_key, s_slot = jax.lax.sort((keys, pays), num_keys=1, is_stable=False)
+    s_key, s_pay = jax.lax.sort((keys, pays), num_keys=1, is_stable=False)
     s_tile = (s_key >> jnp.uint32(depth_bits)).astype(jnp.int32)
 
     tile_range = jnp.arange(num_tiles, dtype=jnp.int32)
@@ -400,9 +413,13 @@ def bin_gaussians_v2(
     k_idx = jnp.arange(max_per_tile, dtype=jnp.int32)[None, :]
     src = jnp.minimum(starts[:, None] + k_idx, keys.shape[0] - 1)
     live = k_idx < tile_count[:, None]
-    slot_tbl = s_slot[src]                         # (nt, K) global slot ids
-    tile_slot = jnp.where(live, slot_tbl, -1)
-    tile_gauss = jnp.where(live, slot_to_gid(slot_tbl, meta), -1)
+    pay_tbl = s_pay[src]
+    if SLOT_PAYLOAD:
+        tile_slot = jnp.where(live, pay_tbl, -1)   # (nt, K) global slot ids
+        tile_gauss = jnp.where(live, slot_to_gid(pay_tbl, meta), -1)
+    else:
+        tile_slot, meta = None, None
+        tile_gauss = jnp.where(live, pay_tbl, -1)
 
     return TileBins(
         tile_gauss,

@@ -40,15 +40,24 @@ ALPHA_MAX = 0.99
 T_EPS = 1.0e-4
 
 # Backward-path knob for the per-Gaussian gradient reduction in
-# composite_fused: "class" (default) = unique-slot scatter + dense
-# per-class row reduction (_gather_rows_classreduce; needs binning v2's
-# tile_slot); "add" = XLA duplicate-index scatter-add (the autodiff
-# default, measured 4.8 ms/step at bench scale); "off" = replace the
+# composite_fused: "add" (default) = XLA duplicate-index scatter-add (the
+# autodiff default, measured 4.8 ms/step at bench scale); "class" =
+# unique-slot scatter + dense per-class row reduction
+# (_gather_rows_classreduce; needs PCP_SLOT_PAYLOAD=1) — measured 154 vs
+# 72 ms/step: TPU pads the (total_slots, 9) scatter buffer's minor dim to
+# 128 lanes, turning 134 MB of logical traffic into ~1.9 GB. Kept as an
+# A/B knob + documentation of the failed experiment; "off" = replace the
 # scatter with a cheap full-reduce that keeps the kernel VJP alive but
 # produces garbage dpack — MEASUREMENT ONLY (tools/exp_step_parts3.py).
 import os as _os
 
-_GRAD_SCATTER = _os.environ.get("PCP_GRAD_SCATTER", "class")
+_GRAD_SCATTER = _os.environ.get("PCP_GRAD_SCATTER", "add")
+
+# Attribute-gather layout A/B: "rows" = one (nt*K, NA) row gather + a
+# (nt, K, NA) -> (nt, NA, K) transpose; "cols" = NA per-plane (nt, K)
+# gathers stacked directly in kernel layout (no transposes either way
+# around the kernel).
+_ATT_GATHER = _os.environ.get("PCP_ATT_GATHER", "rows")
 
 # When True, rasterize(use_pallas=None) picks the XLA composite even on the
 # TPU backend. Used by cross-device parity tools that run the same program
@@ -317,10 +326,20 @@ def composite_fused(
         [m, c, rgb, prep["opacity"][:, None]],
         axis=1,
     )                                               # (N, NA=9)
-    if _GRAD_SCATTER == "off":
+    if _ATT_GATHER == "cols":
+        # Gather straight into the kernel's (nt, NA, K) layout: one (nt, K)
+        # gather per attribute plane, stacked on axis 1 — no 35 MB
+        # (nt, K, NA) -> (nt, NA, K) transpose in the forward and no
+        # matching transpose of d_att in the backward.
+        att = jnp.stack([pack[:, a][idc] for a in range(pc.NA)], axis=1)
+        att = att * valid[:, None, :]
+    elif _GRAD_SCATTER == "off":
         att = _gather_rows_noscatter(pack, idc.reshape(-1))
+        att = att.reshape(nt_pad, k_pad, pc.NA)
+        att = att * valid[..., None]                # pads: opacity/valid -> 0
+        att = jnp.transpose(att, (0, 2, 1))         # (nt, NA, K)
     elif bins.tile_slot is not None and _GRAD_SCATTER != "add":
-        # default for binning v2: unique-slot scatter + dense class reduce
+        # binning v2 + PCP_SLOT_PAYLOAD: unique-slot scatter + class reduce
         slots = bins.tile_slot
         if (nt_pad, k_pad) != (nt, k):
             slots = (jnp.full((nt_pad, k_pad), -1, jnp.int32)
@@ -330,11 +349,14 @@ def composite_fused(
             (meta.rs, meta.caps, meta.offs), pack, idc.reshape(-1),
             slots.reshape(-1), meta.idx_b, meta.idx_c, meta.idx_d,
         )
+        att = att.reshape(nt_pad, k_pad, pc.NA)
+        att = att * valid[..., None]
+        att = jnp.transpose(att, (0, 2, 1))
     else:
         att = pack[idc.reshape(-1)]
-    att = att.reshape(nt_pad, k_pad, pc.NA)
-    att = att * valid[..., None]                    # pads: opacity/valid -> 0
-    att = jnp.transpose(att, (0, 2, 1))             # (nt, NA, K)
+        att = att.reshape(nt_pad, k_pad, pc.NA)
+        att = att * valid[..., None]
+        att = jnp.transpose(att, (0, 2, 1))
     color, tfin = pc.composite_tiles(att, tiles_x)
 
     def untile(x, ch):

@@ -34,7 +34,6 @@ from pcp_tpu.train.step import (
     opacity_reset_step,
     render_gaussians,
 )
-from pcp_tpu.utils.image import psnr
 
 
 def init_state(
@@ -60,27 +59,25 @@ def init_state(
 def evaluate_cameras(state, cams, sh_degree, background, ocfg) -> Dict[str, float]:
     """L1/PSNR over held-out cameras (training_report, train.py:188-243).
 
-    Rendering is batched per image size (eval/render_batch) so hundreds of
-    test views run as a few vmapped XLA programs instead of one eager
-    dispatch per camera."""
-    from pcp_tpu.eval.render_batch import render_views
+    Rendering is batched per image size and L1/PSNR reduce ON DEVICE
+    (eval/render_batch.eval_views): hundreds of test views run as a few
+    vmapped XLA programs returning two scalars each, instead of one eager
+    dispatch + host-side metric math per camera."""
+    from pcp_tpu.eval.render_batch import eval_views
 
     l1s, psnrs = [], []
     by_size: Dict[tuple, list] = {}
     for cam in cams:
         by_size.setdefault((cam.width, cam.height), []).append(cam)
     for group in by_size.values():
-        imgs = render_views(
+        l1, ps = eval_views(
             state.params, state.alive, group, sh_degree, background,
             max_per_tile=ocfg.max_per_tile,
             pairs_per_gaussian=ocfg.pairs_per_gaussian,
             batch=min(8, len(group)),
         )
-        for cam, img in zip(group, imgs):
-            gt = np.asarray(cam.gt_image)
-            l1s.append(float(np.mean(np.abs(img - gt))))
-            psnrs.append(float(psnr(jnp.asarray(img)[None],
-                                    jnp.asarray(gt)[None])[0]))
+        l1s.extend(l1)
+        psnrs.extend(ps)
     return {
         "l1": float(np.mean(l1s)) if l1s else 0.0,
         "psnr": float(np.mean(psnrs)) if psnrs else 0.0,

@@ -65,7 +65,8 @@ def main():
             depths.astype(jnp.float32), jnp.uint32)
             >> jnp.uint32(32 - depth_bits))
         counts_a = jnp.where(counts <= B.R1, counts, 0)
-        key_a, pay_a = B._expand_rows(x0, y0, wx, dq, counts_a,
+        gid_all = jnp.arange(n, dtype=jnp.int32)
+        key_a, pay_a = B._expand_rows(x0, y0, wx, dq, gid_all, counts_a,
                                       B.R1, tiles_x, depth_bits, 0)
 
         def table(mask, cap, r, off):
@@ -73,7 +74,7 @@ def main():
             ok = idx >= 0
             src = jnp.maximum(idx, 0)
             cnt = jnp.where(ok, jnp.minimum(counts[src], r), 0)
-            return B._expand_rows(x0[src], y0[src], wx[src], dq[src],
+            return B._expand_rows(x0[src], y0[src], wx[src], dq[src], src,
                                   cnt, r, tiles_x, depth_bits, off)
 
         key_b, pay_b = table((counts > B.R1) & (counts <= B.R2), cap_b,
