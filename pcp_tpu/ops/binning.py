@@ -411,9 +411,17 @@ def bin_gaussians_v2(
     tile_count = jnp.minimum(load, max_per_tile)
 
     k_idx = jnp.arange(max_per_tile, dtype=jnp.int32)[None, :]
-    src = jnp.minimum(starts[:, None] + k_idx, keys.shape[0] - 1)
     live = k_idx < tile_count[:, None]
-    pay_tbl = s_pay[src]
+    # Window extraction: each tile's K entries are a CONTIGUOUS range
+    # [starts[t], starts[t]+K) of the sorted payload — K sentinel rows of
+    # padding make every slice in-bounds, so this lowers to num_tiles
+    # contiguous K-row copies (DMA-friendly) instead of nt*K scalar
+    # gathers.
+    s_pay_pad = jnp.concatenate(
+        [s_pay, jnp.full((max_per_tile,), -1, s_pay.dtype)])
+    pay_tbl = jax.vmap(
+        lambda s: jax.lax.dynamic_slice(s_pay_pad, (s,), (max_per_tile,))
+    )(starts)
     if SLOT_PAYLOAD:
         tile_slot = jnp.where(live, pay_tbl, -1)   # (nt, K) global slot ids
         tile_gauss = jnp.where(live, slot_to_gid(pay_tbl, meta), -1)

@@ -71,6 +71,12 @@ PP = int(_os.environ.get("PCP_PP", "256"))
 # iters/s end to end. PCP_MXU_SCANS=0 falls back to exact f32 roll scans.
 USE_MXU_SCANS = _os.environ.get("PCP_MXU_SCANS", "1") == "1"
 
+# Backward mean/conic planes as pixel-moment matmuls (see _bwd_chunk_body):
+# the 5 (TB, PP, CH)->(TB, CH) masked reduces + their dx/dy polynomial
+# products collapse into 3 bf16x3 matmuls against an EXACT bf16 basis
+# (local pixel coords < 16, so every basis integer <= 225) + per-slot math.
+USE_BWD_MOMENTS = _os.environ.get("PCP_BWD_MOMENTS", "1") == "1"
+
 
 def _tri(inclusive: bool, reverse: bool):
     """(CH, CH) 0/1 matrix T with (x @ T)[k] = sum over the prefix
@@ -445,21 +451,80 @@ def _bwd_chunk_body(att, gcolor, gtfin, tfin, ncontrib, datt, t_scr, s_scr,
     dop_pix = jnp.where(unclamped, dalpha * g_val, 0.0)
     dpower = jnp.where(unclamped, dalpha * alpha, 0.0)
 
-    ca3 = _row(at, _I_CA)[:, None, :]
-    cb3 = _row(at, _I_CB)[:, None, :]
-    cc3 = _row(at, _I_CC)[:, None, :]
+    ca2 = _row(at, _I_CA)
+    cb2 = _row(at, _I_CB)
+    cc2 = _row(at, _I_CC)
     zero = jnp.zeros((dx.shape[0], 1, dx.shape[2]), jnp.float32)
-    planes = [
-        jnp.sum(dpower * (ca3 * dx + cb3 * dy), axis=1)[:, None, :],   # dmx
-        jnp.sum(dpower * (cc3 * dy + cb3 * dx), axis=1)[:, None, :],   # dmy
-        jnp.sum(dpower * (-0.5 * dx * dx), axis=1)[:, None, :],        # dca
-        jnp.sum(dpower * (-dx * dy), axis=1)[:, None, :],              # dcb
-        jnp.sum(dpower * (-0.5 * dy * dy), axis=1)[:, None, :],        # dcc
-        jnp.sum(w * _gc_row(gC, 0), axis=1)[:, None, :],               # dr
-        jnp.sum(w * _gc_row(gC, 1), axis=1)[:, None, :],               # dg
-        jnp.sum(w * _gc_row(gC, 2), axis=1)[:, None, :],               # db
-        jnp.sum(dop_pix, axis=1)[:, None, :],                          # dop
-    ] + [zero] * (NA - 9)
+    if USE_BWD_MOMENTS:
+        # dx = pxl - mxl in LOCAL tile coordinates (pxl in [0, TILE)), so
+        # the 5 mean/conic plane reductions are polynomial combinations of
+        # six pixel moments of dpower: M_m[k] = sum_p dpower[p,k] B[p,m],
+        # B = [1, pxl, pyl, pxl^2, pxl*pyl, pyl^2]. Every B entry is an
+        # integer <= (TILE-1)^2 = 225 — EXACT under Mosaic's bf16 MXU
+        # truncation — so only dpower needs the bf16x3 split. Replaces 5
+        # (TB, PP, CH) masked reduces + ~10 polynomial products with
+        # 3*TB tiny matmuls + per-slot (TB, CH) math.
+        lane = p_idx * PP + jax.lax.broadcasted_iota(jnp.int32, (1, PP), 1)
+        pxl = (lane % TILE).astype(jnp.float32)            # (1, PP)
+        pyl = (lane // TILE).astype(jnp.float32)
+        Bt = jnp.concatenate(
+            [jnp.ones_like(pxl), pxl, pyl, pxl * pxl, pxl * pyl, pyl * pyl],
+            axis=0,
+        )                                                  # (6, PP) exact
+        hi = _trunc_bf16(dpower)
+        rem = dpower - hi
+        mid = _trunc_bf16(rem)
+        lo = rem - mid
+        moms = []
+        for t in range(TB):
+            m = (
+                jnp.dot(Bt, hi[t], preferred_element_type=jnp.float32)
+                + jnp.dot(Bt, mid[t], preferred_element_type=jnp.float32)
+                + jnp.dot(Bt, lo[t], preferred_element_type=jnp.float32)
+            )                                              # (6, CH)
+            moms.append(m[None])                           # (1, 6, CH)
+        M = jnp.concatenate(moms, axis=0)                  # (TB, 6, CH)
+        m0 = _row(M, 0)
+        mx_m = _row(M, 1)
+        my_m = _row(M, 2)
+        mxx = _row(M, 3)
+        mxy = _row(M, 4)
+        myy = _row(M, 5)
+        # Gaussian means in the same local frame: mxl = mx - tile_x0.
+        rows = i * TB + jax.lax.broadcasted_iota(jnp.int32, (TB, CH), 0)
+        tx0 = ((rows % tiles_x) * TILE).astype(jnp.float32)
+        ty0 = ((rows // tiles_x) * TILE).astype(jnp.float32)
+        mxl = _row(at, _I_MX) - tx0
+        myl = _row(at, _I_MY) - ty0
+        sdx = mx_m - mxl * m0                              # sum dpower*dx
+        sdy = my_m - myl * m0
+        sdxx = mxx - 2.0 * mxl * mx_m + mxl * mxl * m0
+        sdxy = mxy - mxl * my_m - myl * mx_m + mxl * myl * m0
+        sdyy = myy - 2.0 * myl * my_m + myl * myl * m0
+        planes = [
+            (ca2 * sdx + cb2 * sdy)[:, None, :],                       # dmx
+            (cc2 * sdy + cb2 * sdx)[:, None, :],                       # dmy
+            (-0.5 * sdxx)[:, None, :],                                 # dca
+            (-sdxy)[:, None, :],                                       # dcb
+            (-0.5 * sdyy)[:, None, :],                                 # dcc
+            jnp.sum(w * _gc_row(gC, 0), axis=1)[:, None, :],           # dr
+            jnp.sum(w * _gc_row(gC, 1), axis=1)[:, None, :],           # dg
+            jnp.sum(w * _gc_row(gC, 2), axis=1)[:, None, :],           # db
+            jnp.sum(dop_pix, axis=1)[:, None, :],                      # dop
+        ] + [zero] * (NA - 9)
+    else:
+        ca3, cb3, cc3 = ca2[:, None, :], cb2[:, None, :], cc2[:, None, :]
+        planes = [
+            jnp.sum(dpower * (ca3 * dx + cb3 * dy), axis=1)[:, None, :],
+            jnp.sum(dpower * (cc3 * dy + cb3 * dx), axis=1)[:, None, :],
+            jnp.sum(dpower * (-0.5 * dx * dx), axis=1)[:, None, :],
+            jnp.sum(dpower * (-dx * dy), axis=1)[:, None, :],
+            jnp.sum(dpower * (-0.5 * dy * dy), axis=1)[:, None, :],
+            jnp.sum(w * _gc_row(gC, 0), axis=1)[:, None, :],
+            jnp.sum(w * _gc_row(gC, 1), axis=1)[:, None, :],
+            jnp.sum(w * _gc_row(gC, 2), axis=1)[:, None, :],
+            jnp.sum(dop_pix, axis=1)[:, None, :],
+        ] + [zero] * (NA - 9)
     datt[:] = datt[:] + jnp.concatenate(planes, axis=1)
 
     # carries for the next (earlier) chunk
