@@ -269,8 +269,12 @@ _I_VALID = _I_OP  # validity test is op > 0
 
 
 def _row(att, j):
-    """att (TB, NA, CH) -> attribute plane j as (TB, CH) (static slice)."""
-    return jax.lax.slice_in_dim(att, j, j + 1, axis=1)[:, 0, :]
+    """att (NA, TB, CH) -> attribute plane j as (TB, CH) (static slice).
+
+    Plane-major layout: NA=9 on the OUTER axis keeps the tiled (TB/8, CH/
+    128) dims full — a (.., NA, ..)-minor layout would lane- or sublane-pad
+    9 -> 16/128 through every DMA and HBM materialization."""
+    return jax.lax.slice_in_dim(att, j, j + 1, axis=0)[0]
 
 
 def _gc_row(gc, j):
@@ -454,7 +458,7 @@ def _bwd_chunk_body(att, gcolor, gtfin, tfin, ncontrib, datt, t_scr, s_scr,
     ca2 = _row(at, _I_CA)
     cb2 = _row(at, _I_CB)
     cc2 = _row(at, _I_CC)
-    zero = jnp.zeros((dx.shape[0], 1, dx.shape[2]), jnp.float32)
+    zero = jnp.zeros((1, dx.shape[0], dx.shape[2]), jnp.float32)
     if USE_BWD_MOMENTS:
         # dx = pxl - mxl in LOCAL tile coordinates (pxl in [0, TILE)), so
         # the 5 mean/conic plane reductions are polynomial combinations of
@@ -482,8 +486,8 @@ def _bwd_chunk_body(att, gcolor, gtfin, tfin, ncontrib, datt, t_scr, s_scr,
                 + jnp.dot(Bt, mid[t], preferred_element_type=jnp.float32)
                 + jnp.dot(Bt, lo[t], preferred_element_type=jnp.float32)
             )                                              # (6, CH)
-            moms.append(m[None])                           # (1, 6, CH)
-        M = jnp.concatenate(moms, axis=0)                  # (TB, 6, CH)
+            moms.append(m[:, None, :])                     # (6, 1, CH)
+        M = jnp.concatenate(moms, axis=1)                  # (6, TB, CH)
         m0 = _row(M, 0)
         mx_m = _row(M, 1)
         my_m = _row(M, 2)
@@ -502,30 +506,30 @@ def _bwd_chunk_body(att, gcolor, gtfin, tfin, ncontrib, datt, t_scr, s_scr,
         sdxy = mxy - mxl * my_m - myl * mx_m + mxl * myl * m0
         sdyy = myy - 2.0 * myl * my_m + myl * myl * m0
         planes = [
-            (ca2 * sdx + cb2 * sdy)[:, None, :],                       # dmx
-            (cc2 * sdy + cb2 * sdx)[:, None, :],                       # dmy
-            (-0.5 * sdxx)[:, None, :],                                 # dca
-            (-sdxy)[:, None, :],                                       # dcb
-            (-0.5 * sdyy)[:, None, :],                                 # dcc
-            jnp.sum(w * _gc_row(gC, 0), axis=1)[:, None, :],           # dr
-            jnp.sum(w * _gc_row(gC, 1), axis=1)[:, None, :],           # dg
-            jnp.sum(w * _gc_row(gC, 2), axis=1)[:, None, :],           # db
-            jnp.sum(dop_pix, axis=1)[:, None, :],                      # dop
+            (ca2 * sdx + cb2 * sdy)[None],                             # dmx
+            (cc2 * sdy + cb2 * sdx)[None],                             # dmy
+            (-0.5 * sdxx)[None],                                       # dca
+            (-sdxy)[None],                                             # dcb
+            (-0.5 * sdyy)[None],                                       # dcc
+            jnp.sum(w * _gc_row(gC, 0), axis=1)[None],                 # dr
+            jnp.sum(w * _gc_row(gC, 1), axis=1)[None],                 # dg
+            jnp.sum(w * _gc_row(gC, 2), axis=1)[None],                 # db
+            jnp.sum(dop_pix, axis=1)[None],                            # dop
         ] + [zero] * (NA - 9)
     else:
         ca3, cb3, cc3 = ca2[:, None, :], cb2[:, None, :], cc2[:, None, :]
         planes = [
-            jnp.sum(dpower * (ca3 * dx + cb3 * dy), axis=1)[:, None, :],
-            jnp.sum(dpower * (cc3 * dy + cb3 * dx), axis=1)[:, None, :],
-            jnp.sum(dpower * (-0.5 * dx * dx), axis=1)[:, None, :],
-            jnp.sum(dpower * (-dx * dy), axis=1)[:, None, :],
-            jnp.sum(dpower * (-0.5 * dy * dy), axis=1)[:, None, :],
-            jnp.sum(w * _gc_row(gC, 0), axis=1)[:, None, :],
-            jnp.sum(w * _gc_row(gC, 1), axis=1)[:, None, :],
-            jnp.sum(w * _gc_row(gC, 2), axis=1)[:, None, :],
-            jnp.sum(dop_pix, axis=1)[:, None, :],
+            jnp.sum(dpower * (ca3 * dx + cb3 * dy), axis=1)[None],
+            jnp.sum(dpower * (cc3 * dy + cb3 * dx), axis=1)[None],
+            jnp.sum(dpower * (-0.5 * dx * dx), axis=1)[None],
+            jnp.sum(dpower * (-dx * dy), axis=1)[None],
+            jnp.sum(dpower * (-0.5 * dy * dy), axis=1)[None],
+            jnp.sum(w * _gc_row(gC, 0), axis=1)[None],
+            jnp.sum(w * _gc_row(gC, 1), axis=1)[None],
+            jnp.sum(w * _gc_row(gC, 2), axis=1)[None],
+            jnp.sum(dop_pix, axis=1)[None],
         ] + [zero] * (NA - 9)
-    datt[:] = datt[:] + jnp.concatenate(planes, axis=1)
+    datt[:] = datt[:] + jnp.concatenate(planes, axis=0)
 
     # carries for the next (earlier) chunk
     first = lambda x: jax.lax.slice_in_dim(x, 0, 1, axis=2)[:, :, 0]
@@ -614,7 +618,7 @@ def _bwd_kernel_fused(att, gcolor, gtfin, tfin, ncontrib, datt,
     def chunk_step(c_rev, _):
         c_idx = n_chunks - 1 - c_rev
         ksl = pl.ds(c_idx * CH, CH)
-        datt[:, :, ksl] = jnp.zeros((TB, NA, CH), jnp.float32)
+        datt[:, :, ksl] = jnp.zeros((NA, TB, CH), jnp.float32)
 
         @pl.when((c_idx * CH).astype(jnp.float32) < nc_max)
         def _compute():
@@ -663,19 +667,19 @@ def _bwd_kernel_fused(att, gcolor, gtfin, tfin, ncontrib, datt,
             ca3 = _row(at, _I_CA)[:, None, :]
             cb3 = _row(at, _I_CB)[:, None, :]
             cc3 = _row(at, _I_CC)[:, None, :]
-            zero = jnp.zeros((dx.shape[0], 1, dx.shape[2]), jnp.float32)
+            zero = jnp.zeros((1, dx.shape[0], dx.shape[2]), jnp.float32)
             planes = [
-                jnp.sum(dpower * (ca3 * dx + cb3 * dy), axis=1)[:, None, :],
-                jnp.sum(dpower * (cc3 * dy + cb3 * dx), axis=1)[:, None, :],
-                jnp.sum(dpower * (-0.5 * dx * dx), axis=1)[:, None, :],
-                jnp.sum(dpower * (-dx * dy), axis=1)[:, None, :],
-                jnp.sum(dpower * (-0.5 * dy * dy), axis=1)[:, None, :],
-                jnp.sum(w * _gc_row(gC, 0), axis=1)[:, None, :],
-                jnp.sum(w * _gc_row(gC, 1), axis=1)[:, None, :],
-                jnp.sum(w * _gc_row(gC, 2), axis=1)[:, None, :],
-                jnp.sum(dop_pix, axis=1)[:, None, :],
+                jnp.sum(dpower * (ca3 * dx + cb3 * dy), axis=1)[None],
+                jnp.sum(dpower * (cc3 * dy + cb3 * dx), axis=1)[None],
+                jnp.sum(dpower * (-0.5 * dx * dx), axis=1)[None],
+                jnp.sum(dpower * (-dx * dy), axis=1)[None],
+                jnp.sum(dpower * (-0.5 * dy * dy), axis=1)[None],
+                jnp.sum(w * _gc_row(gC, 0), axis=1)[None],
+                jnp.sum(w * _gc_row(gC, 1), axis=1)[None],
+                jnp.sum(w * _gc_row(gC, 2), axis=1)[None],
+                jnp.sum(dop_pix, axis=1)[None],
             ] + [zero] * (NA - 9)
-            datt[:, :, ksl] = jnp.concatenate(planes, axis=1)
+            datt[:, :, ksl] = jnp.concatenate(planes, axis=0)
 
             first = lambda x: jax.lax.slice_in_dim(x, 0, 1, axis=2)[:, :, 0]
             t_scr[:] = t_end / first(suffix)
@@ -690,7 +694,7 @@ def _specs(n_chunks, reverse=False):
     """index_map returns BLOCK indices (units of the block shape)."""
 
     def att(i, c):
-        return (i, 0, (n_chunks - 1 - c) if reverse else c)
+        return (0, i, (n_chunks - 1 - c) if reverse else c)
 
     def per_tile2(i, c):
         return (i, 0)
@@ -703,22 +707,23 @@ def _specs(n_chunks, reverse=False):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
 def composite_tiles(att, tiles_x):
-    """Packed per-tile-slot attributes (nt, NA, K) -> (color (nt, 3, P),
+    """Packed per-tile-slot attributes (NA, nt, K) -> (color (nt, 3, P),
     t_fin (nt, P)).
 
-    Attribute rows: [mx, my, conic_a, conic_b, conic_c, r, g, b, opacity,
-    valid, pad...]. nt must be a multiple of TB and K of CH (caller pads).
-    One packed tensor instead of 10 planes: the wrapper's per-tile gather
-    and its backward scatter-add then run as ONE wide row gather/scatter —
-    9 scalar gathers of (nt*K,) cost ~70 ms on TPU, one (nt*K, 16) row
-    gather ~8 ms.
+    Attribute planes (axis 0): [mx, my, conic_a, conic_b, conic_c, r, g,
+    b, opacity]. nt must be a multiple of TB and K of CH (caller pads).
+    PLANE-MAJOR: with NA on the outer axis the tiled (second-minor, minor)
+    dims are (nt/TB, K) — full; any layout with 9 on a tiled dim pads it
+    to 16 (sublane) or 128 (lane), multiplying every DMA, gather, and
+    scatter byte by up to 14x (measured: the (slots, 9) class-reduce
+    buffer cost ~1.9 GB/step).
     """
     color, tfin, _ = _fwd(att, tiles_x)
     return color, tfin
 
 
 def _fwd(att, tiles_x):
-    nt, na, k = att.shape
+    na, nt, k = att.shape
     n_chunks = k // CH
     att_map, per_tile2, per_tile3 = _specs(n_chunks)
     v = pltpu.VMEM
@@ -727,7 +732,7 @@ def _fwd(att, tiles_x):
             functools.partial(_fwd_kernel_fused, tiles_x=tiles_x,
                               n_chunks=n_chunks),
             grid=(nt // TB,),
-            in_specs=[pl.BlockSpec((TB, NA, k), lambda i: (i, 0, 0),
+            in_specs=[pl.BlockSpec((NA, TB, k), lambda i: (0, i, 0),
                                    memory_space=v)],
             out_specs=(
                 pl.BlockSpec((TB, 3, P), lambda i: (i, 0, 0), memory_space=v),
@@ -756,7 +761,7 @@ def _fwd(att, tiles_x):
     color, tfin, ncontrib = pl.pallas_call(
         functools.partial(_fwd_kernel, tiles_x=tiles_x),
         grid=(nt // TB, n_chunks),
-        in_specs=[pl.BlockSpec((TB, NA, CH), att_map, memory_space=v)],
+        in_specs=[pl.BlockSpec((NA, TB, CH), att_map, memory_space=v)],
         out_specs=(
             pl.BlockSpec((TB, 3, P), per_tile3, memory_space=v),
             pl.BlockSpec((TB, P), per_tile2, memory_space=v),
@@ -790,7 +795,7 @@ def _composite_fwd(att, tiles_x):
 def _composite_bwd(tiles_x, res, cot):
     att, tfin, ncontrib = res
     gcolor, gtfin = cot
-    nt, na, k = att.shape
+    na, nt, k = att.shape
     n_chunks = k // CH
     v = pltpu.VMEM
 
@@ -800,15 +805,15 @@ def _composite_bwd(tiles_x, res, cot):
                               n_chunks=n_chunks),
             grid=(nt // TB,),
             in_specs=[
-                pl.BlockSpec((TB, NA, k), lambda i: (i, 0, 0), memory_space=v),
+                pl.BlockSpec((NA, TB, k), lambda i: (0, i, 0), memory_space=v),
                 pl.BlockSpec((TB, 3, P), lambda i: (i, 0, 0), memory_space=v),
                 pl.BlockSpec((TB, P), lambda i: (i, 0), memory_space=v),
                 pl.BlockSpec((TB, P), lambda i: (i, 0), memory_space=v),
                 pl.BlockSpec((TB, P), lambda i: (i, 0), memory_space=v),
             ],
-            out_specs=pl.BlockSpec((TB, NA, k), lambda i: (i, 0, 0),
+            out_specs=pl.BlockSpec((NA, TB, k), lambda i: (0, i, 0),
                                    memory_space=v),
-            out_shape=jax.ShapeDtypeStruct((nt, NA, k), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct((NA, nt, k), jnp.float32),
             scratch_shapes=[
                 pltpu.VMEM((TB, P), jnp.float32),
                 pltpu.VMEM((TB, P), jnp.float32),
@@ -825,7 +830,7 @@ def _composite_bwd(tiles_x, res, cot):
         return (datt,)
 
     def att_map(i, c, p):
-        return (i, 0, n_chunks - 1 - c)
+        return (0, i, n_chunks - 1 - c)
 
     def pix2(i, c, p):
         return (i, p)
@@ -837,14 +842,14 @@ def _composite_bwd(tiles_x, res, cot):
         functools.partial(_bwd_kernel, tiles_x=tiles_x),
         grid=(nt // TB, n_chunks, P // PP),
         in_specs=[
-            pl.BlockSpec((TB, NA, CH), att_map, memory_space=v),
+            pl.BlockSpec((NA, TB, CH), att_map, memory_space=v),
             pl.BlockSpec((TB, 3, PP), pix3, memory_space=v),
             pl.BlockSpec((TB, PP), pix2, memory_space=v),
             pl.BlockSpec((TB, PP), pix2, memory_space=v),
             pl.BlockSpec((TB, PP), pix2, memory_space=v),
         ],
-        out_specs=pl.BlockSpec((TB, NA, CH), att_map, memory_space=v),
-        out_shape=jax.ShapeDtypeStruct((nt, NA, k), jnp.float32),
+        out_specs=pl.BlockSpec((NA, TB, CH), att_map, memory_space=v),
+        out_shape=jax.ShapeDtypeStruct((NA, nt, k), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((TB, P), jnp.float32),
             pltpu.VMEM((TB, P), jnp.float32),

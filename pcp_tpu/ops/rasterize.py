@@ -40,24 +40,17 @@ ALPHA_MAX = 0.99
 T_EPS = 1.0e-4
 
 # Backward-path knob for the per-Gaussian gradient reduction in
-# composite_fused: "add" (default) = XLA duplicate-index scatter-add (the
-# autodiff default, measured 4.8 ms/step at bench scale); "class" =
-# unique-slot scatter + dense per-class row reduction
-# (_gather_rows_classreduce; needs PCP_SLOT_PAYLOAD=1) — measured 154 vs
-# 72 ms/step: TPU pads the (total_slots, 9) scatter buffer's minor dim to
-# 128 lanes, turning 134 MB of logical traffic into ~1.9 GB. Kept as an
-# A/B knob + documentation of the failed experiment; "off" = replace the
-# scatter with a cheap full-reduce that keeps the kernel VJP alive but
-# produces garbage dpack — MEASUREMENT ONLY (tools/exp_step_parts3.py).
+# composite_fused: "add" (default) = the batched per-plane gather's
+# autodiff scatter-add onto the (NA, N) plane-major pack; "off" = replace
+# the scatter with a cheap full-reduce that keeps the kernel VJP alive
+# but produces garbage dpack — MEASUREMENT ONLY (tools/exp_step_parts3).
+# A "class" variant (unique-slot scatter into expansion-slot space +
+# dense per-class reductions, via PCP_SLOT_PAYLOAD=1 slot ids) was built
+# and measured at 154 vs 72 ms/step — TPU lane-pads a (slots, 9) buffer
+# minor dim to 128, ~1.9 GB of traffic — and removed; see PERF_NOTES.
 import os as _os
 
 _GRAD_SCATTER = _os.environ.get("PCP_GRAD_SCATTER", "add")
-
-# Attribute-gather layout A/B: "rows" = one (nt*K, NA) row gather + a
-# (nt, K, NA) -> (nt, NA, K) transpose; "cols" = NA per-plane (nt, K)
-# gathers stacked directly in kernel layout (no transposes either way
-# around the kernel).
-_ATT_GATHER = _os.environ.get("PCP_ATT_GATHER", "rows")
 
 # When True, rasterize(use_pallas=None) picks the XLA composite even on the
 # TPU backend. Used by cross-device parity tools that run the same program
@@ -67,12 +60,12 @@ FORCE_XLA = False
 
 
 @jax.custom_vjp
-def _gather_rows_noscatter(pack, idc_flat):
-    return pack[idc_flat]
+def _gather_rows_noscatter(pack, idc):
+    return jax.vmap(lambda v: v[idc])(pack)
 
 
-def _grns_fwd(pack, idc_flat):
-    return pack[idc_flat], (pack.shape, idc_flat.shape)
+def _grns_fwd(pack, idc):
+    return _gather_rows_noscatter(pack, idc), (pack.shape, idc.shape)
 
 
 def _grns_bwd(res, g):
@@ -86,55 +79,6 @@ def _grns_bwd(res, g):
 
 
 _gather_rows_noscatter.defvjp(_grns_fwd, _grns_bwd)
-
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _gather_rows_classreduce(geom, pack, gid_flat, slot_flat,
-                             idx_b, idx_c, idx_d):
-    """Row gather whose backward is a UNIQUE-index scatter into expansion-
-    slot space followed by dense per-class row reductions, instead of the
-    duplicate-index scatter-add autodiff produces for ``pack[gid_flat]``
-    (measured 4.8 ms/step at bench scale).
-
-    Every (tile, k) table entry maps to a distinct binning expansion slot
-    (binning.TileBins.tile_slot), so the scatter has NO duplicates; pairs
-    of the same Gaussian then reduce along the r axis of each class block
-    — (r, cap, NA) sums — which is dense, layout-friendly work.
-
-    geom: (rs, caps, offs) static class geometry (binning.SlotMeta).
-    """
-    return pack[gid_flat]
-
-
-def _grcr_fwd(geom, pack, gid_flat, slot_flat, idx_b, idx_c, idx_d):
-    return pack[gid_flat], (pack.shape, gid_flat.shape, slot_flat,
-                            idx_b, idx_c, idx_d)
-
-
-def _grcr_bwd(geom, res, g):
-    import numpy as np
-
-    rs, caps, offs = geom
-    pack_shape, idx_shape, slot_flat, idx_b, idx_c, idx_d = res
-    na = pack_shape[1]
-    total = offs[3] + rs[3] * caps[3]
-    tgt = jnp.where(slot_flat >= 0, slot_flat, total)
-    buf = jnp.zeros((total, na), g.dtype).at[tgt].set(
-        g, mode="drop", unique_indices=True)
-    o1, o2, o3 = offs[1], offs[2], offs[3]
-    dpack = buf[:o1].reshape(rs[0], caps[0], na).sum(0)
-    db = buf[o1:o2].reshape(rs[1], caps[1], na).sum(0)
-    dc = buf[o2:o3].reshape(rs[2], caps[2], na).sum(0)
-    dd = buf[o3:].reshape(rs[3], caps[3], na).sum(0)
-    for idx, dx in ((idx_b, db), (idx_c, dc), (idx_d, dd)):
-        t = jnp.where(idx >= 0, idx, pack_shape[0])
-        dpack = dpack.at[t].add(dx, mode="drop", unique_indices=True)
-    f0 = lambda a: np.zeros(np.shape(a), dtype=jax.dtypes.float0)
-    return (dpack, np.zeros(idx_shape, dtype=jax.dtypes.float0),
-            f0(slot_flat), f0(idx_b), f0(idx_c), f0(idx_d))
-
-
-_gather_rows_classreduce.defvjp(_grcr_fwd, _grcr_bwd)
 
 
 def _chunk_body(carry, chunk, *, n_pix):
@@ -316,47 +260,25 @@ def composite_fused(
     valid = (ids >= 0).astype(jnp.float32)
     idc = jnp.maximum(ids, 0)
 
-    # ONE packed (N, NA) attribute matrix -> ONE wide row gather (+ its
-    # transpose, one wide scatter-add). Scalar gathers here cost ~9x more.
+    # PLANE-MAJOR attribute pack (NA, N) and a batched per-plane gather to
+    # the kernel's (NA, nt, K) layout. Any (.., NA=9)-minor intermediate
+    # (the old (N, 9) pack / (nt*K, 9) row gather / its transpose) gets its
+    # minor dim lane-padded 9 -> 128 on TPU, multiplying every HBM byte by
+    # ~14x; plane-major keeps the tiled dims (nt, K) full in both the
+    # gather and its backward scatter-add (which lands on (NA, N)).
     m = prep["means2d"]
     c = prep["conics"]
     rgb = prep["rgb"]
     n = m.shape[0]
-    pack = jnp.concatenate(
-        [m, c, rgb, prep["opacity"][:, None]],
-        axis=1,
-    )                                               # (N, NA=9)
-    if _ATT_GATHER == "cols":
-        # Gather straight into the kernel's (nt, NA, K) layout: one (nt, K)
-        # gather per attribute plane, stacked on axis 1 — no 35 MB
-        # (nt, K, NA) -> (nt, NA, K) transpose in the forward and no
-        # matching transpose of d_att in the backward.
-        att = jnp.stack([pack[:, a][idc] for a in range(pc.NA)], axis=1)
-        att = att * valid[:, None, :]
-    elif _GRAD_SCATTER == "off":
-        att = _gather_rows_noscatter(pack, idc.reshape(-1))
-        att = att.reshape(nt_pad, k_pad, pc.NA)
-        att = att * valid[..., None]                # pads: opacity/valid -> 0
-        att = jnp.transpose(att, (0, 2, 1))         # (nt, NA, K)
-    elif bins.tile_slot is not None and _GRAD_SCATTER != "add":
-        # binning v2 + PCP_SLOT_PAYLOAD: unique-slot scatter + class reduce
-        slots = bins.tile_slot
-        if (nt_pad, k_pad) != (nt, k):
-            slots = (jnp.full((nt_pad, k_pad), -1, jnp.int32)
-                     .at[:nt, :k].set(slots))
-        meta = bins.slot_meta
-        att = _gather_rows_classreduce(
-            (meta.rs, meta.caps, meta.offs), pack, idc.reshape(-1),
-            slots.reshape(-1), meta.idx_b, meta.idx_c, meta.idx_d,
-        )
-        att = att.reshape(nt_pad, k_pad, pc.NA)
-        att = att * valid[..., None]
-        att = jnp.transpose(att, (0, 2, 1))
+    pack = jnp.stack(
+        [m[:, 0], m[:, 1], c[:, 0], c[:, 1], c[:, 2],
+         rgb[:, 0], rgb[:, 1], rgb[:, 2], prep["opacity"]],
+    )                                               # (NA=9, N)
+    if _GRAD_SCATTER == "off":
+        att = _gather_rows_noscatter(pack, idc)
     else:
-        att = pack[idc.reshape(-1)]
-        att = att.reshape(nt_pad, k_pad, pc.NA)
-        att = att * valid[..., None]
-        att = jnp.transpose(att, (0, 2, 1))
+        att = jax.vmap(lambda v: v[idc])(pack)      # (NA, nt, K)
+    att = att * valid[None]                         # pads: opacity/valid -> 0
     color, tfin = pc.composite_tiles(att, tiles_x)
 
     def untile(x, ch):
