@@ -45,29 +45,6 @@ import os as _os
 # 0.9 iters/s SLOWER end-to-end. Set PCP_PAIR_SORT=0 for the fast-path A/B.
 FORCE_PAIR_SORT = _os.environ.get("PCP_PAIR_SORT", "1") == "1"
 DEPTH_ORDER_EXPANSION = _os.environ.get("PCP_DEPTH_ORDER", "1") == "1"
-# v2 sort payload: 0 (default) = Gaussian id; 1 = global expansion slot id
-# (enables TileBins.tile_slot and the class-reduce backward A/B).
-SLOT_PAYLOAD = _os.environ.get("PCP_SLOT_PAYLOAD", "0") == "1"
-
-
-class SlotMeta(NamedTuple):
-    """v2 class geometry: maps a global expansion-slot id back to its
-    owning Gaussian, and gives the backward pass a dense per-class
-    reduction layout (see rasterize._gather_rows_classreduce).
-
-    Slot space is the concatenation of the four class blocks, each stored
-    r-major as (r, C).reshape(-1): slot = off + r_idx * cap + row."""
-    n: int                    # class-A row count (= capacity)
-    rs: tuple                 # (R1, R2, R3, num_tiles) slots per row
-    caps: tuple               # (n, cap_b, cap_c, cap_d) rows per class
-    offs: tuple               # block offsets into the flat slot space
-    idx_b: jnp.ndarray        # (cap_b,) row -> gaussian id (-1 pad)
-    idx_c: jnp.ndarray
-    idx_d: jnp.ndarray
-
-    @property
-    def total_slots(self) -> int:
-        return self.offs[3] + self.rs[3] * self.caps[3]
 
 
 class TileBins(NamedTuple):
@@ -79,11 +56,6 @@ class TileBins(NamedTuple):
     #   (v1: global max_pairs overflow; v2: class-capacity/footprint drops —
     #    per-tile clamping to max_per_tile is NOT counted here, it is the
     #    nearest-K policy reported via max_tile_load)
-    tile_slot: jnp.ndarray = None  # (num_tiles, max_per_tile) int32 global
-    #   slot ids (-1 pad) — v2 only; lets the composite backward replace the
-    #   duplicate-index grad scatter with a unique-slot scatter + dense
-    #   per-class row reduction
-    slot_meta: SlotMeta = None     # v2 only
 
 
 def _ceil_log2(x: int) -> int:
@@ -276,8 +248,7 @@ CAPC_DIV = int(_os.environ.get("PCP_CAPC_DIV", "128"))  # capC = N / 128
 CAPD_DIV = int(_os.environ.get("PCP_CAPD_DIV", "4096"))  # capD = N / 4096
 
 
-def _expand_rows(x0, y0, wx, dq, gid, counts, r, tiles_x, depth_bits,
-                 slot_off):
+def _expand_rows(x0, y0, wx, dq, gid, counts, r, tiles_x, depth_bits):
     """(C,) per-row rect/depth/id data -> (C*r,) sort keys + payload.
 
     Slot j of a row maps to tile (x0 + j % wx, y0 + j // wx) via the exact
@@ -287,15 +258,12 @@ def _expand_rows(x0, y0, wx, dq, gid, counts, r, tiles_x, depth_bits,
     Layout: all per-slot math runs in (r, C) — the LARGE axis C on the
     128-lane minor dimension, the footprint axis r on sublanes. The
     natural (C, r) orientation puts r (= 16/64) minor and idles 87-50% of
-    the VPU datapath for every op in this chain. The flat order is r-major
-    (slot = slot_off + r_idx * C + row), which is irrelevant pre-sort
-    (is_stable=False).
+    the VPU datapath for every op in this chain. The flat order is r-major,
+    which is irrelevant pre-sort (is_stable=False).
 
-    Payload: the owning Gaussian id (default), or with PCP_SLOT_PAYLOAD=1
-    the GLOBAL SLOT ID — from which the Gaussian is recovered post-sort
-    for just the (nt, K) table (slot_to_gid) and which the composite
-    backward's class-reduce mode needs for its unique-index scatter
-    (an A/B path that currently loses on chip; see rasterize.py)."""
+    Payload: the owning Gaussian id. (A global-slot-id payload variant —
+    for a unique-index backward scatter — was measured and removed; see
+    PERF_NOTES "class-reduce backward".)"""
     c = x0.shape[0]
     local = jnp.arange(r, dtype=jnp.int32)[:, None]            # (r, 1)
     valid = local < counts[None, :]
@@ -309,11 +277,7 @@ def _expand_rows(x0, y0, wx, dq, gid, counts, r, tiles_x, depth_bits,
         (tile << jnp.uint32(depth_bits)) | dq[None, :],
         jnp.uint32(0xFFFFFFFF),
     )
-    if SLOT_PAYLOAD:
-        pay = slot_off + local * c + jnp.arange(c, dtype=jnp.int32)[None, :]
-        pay = jnp.broadcast_to(pay, key.shape)
-    else:
-        pay = jnp.broadcast_to(gid[None, :], key.shape)
+    pay = jnp.broadcast_to(gid[None, :], key.shape)
     return key.reshape(-1), pay.reshape(-1)
 
 
@@ -357,46 +321,34 @@ def bin_gaussians_v2(
         >> jnp.uint32(32 - depth_bits)
     )
 
-    rs = (R1, R2, R3, num_tiles)
-    caps = (n, cap_b, cap_c, cap_d)
-    offs = (0,)
-    for rr, cc in zip(rs[:-1], caps[:-1]):
-        offs = offs + (offs[-1] + rr * cc,)
-
     gid_all = jnp.arange(n, dtype=jnp.int32)
 
     # class A: dense rows, footprint <= R1
     counts_a = jnp.where(counts <= R1, counts, 0)
     key_a, pay_a = _expand_rows(x0, y0, wx, dq, gid_all, counts_a, R1,
-                                tiles_x, depth_bits, offs[0])
+                                tiles_x, depth_bits)
 
-    def table(mask, cap, r, off):
+    def table(mask, cap, r):
         idx, rank = _compact_class(mask, cap, n)
         ok = idx >= 0
         src = jnp.maximum(idx, 0)
         cnt = jnp.where(ok, jnp.minimum(counts[src], r), 0)
         key, pay = _expand_rows(
             x0[src], y0[src], wx[src], dq[src], src, cnt, r,
-            tiles_x, depth_bits, off,
+            tiles_x, depth_bits,
         )
         # drops: whole Gaussians past the table cap + per-row truncation
         over = jnp.sum(jnp.where(mask & (rank >= cap), counts, 0))
         trunc = jnp.sum(jnp.where(ok, counts[src] - cnt, 0))
-        return key, pay, idx, over + trunc
+        return key, pay, over + trunc
 
-    key_b, pay_b, idx_b, drop_b = table(
-        (counts > R1) & (counts <= R2), cap_b, R2, offs[1])
-    key_c, pay_c, idx_c, drop_c = table(
-        (counts > R2) & (counts <= R3), cap_c, R3, offs[2])
+    key_b, pay_b, drop_b = table((counts > R1) & (counts <= R2), cap_b, R2)
+    key_c, pay_c, drop_c = table((counts > R2) & (counts <= R3), cap_c, R3)
     # class D: footprints beyond R3 get rows as wide as the whole tile grid
     # (a footprint cannot exceed num_tiles), so nothing is ever truncated;
     # the table is tiny (N/4096 rows) because such splats are vanishingly
     # rare in any scene that survives densify/prune.
-    key_d, pay_d, idx_d, drop_d = table(counts > R3, cap_d, num_tiles,
-                                        offs[3])
-
-    meta = SlotMeta(n=n, rs=rs, caps=caps, offs=offs,
-                    idx_b=idx_b, idx_c=idx_c, idx_d=idx_d)
+    key_d, pay_d, drop_d = table(counts > R3, cap_d, num_tiles)
 
     keys = jnp.concatenate([key_a, key_b, key_c, key_d])
     pays = jnp.concatenate([pay_a, pay_b, pay_c, pay_d])
@@ -422,12 +374,7 @@ def bin_gaussians_v2(
     pay_tbl = jax.vmap(
         lambda s: jax.lax.dynamic_slice(s_pay_pad, (s,), (max_per_tile,))
     )(starts)
-    if SLOT_PAYLOAD:
-        tile_slot = jnp.where(live, pay_tbl, -1)   # (nt, K) global slot ids
-        tile_gauss = jnp.where(live, slot_to_gid(pay_tbl, meta), -1)
-    else:
-        tile_slot, meta = None, None
-        tile_gauss = jnp.where(live, pay_tbl, -1)
+    tile_gauss = jnp.where(live, pay_tbl, -1)
 
     return TileBins(
         tile_gauss,
@@ -435,27 +382,4 @@ def bin_gaussians_v2(
         total.astype(jnp.int32),
         max_tile_load.astype(jnp.int32),
         (drop_b + drop_c + drop_d).astype(jnp.int32),
-        tile_slot=tile_slot,
-        slot_meta=meta,
     )
-
-
-def slot_to_gid(slot, meta: SlotMeta):
-    """Global expansion-slot id -> owning Gaussian id (elementwise math +
-    three tiny compact-table gathers; blocks are r-major (r, cap))."""
-    o1, o2, o3 = meta.offs[1], meta.offs[2], meta.offs[3]
-    row_a = jax.lax.rem(slot, meta.caps[0])
-    row_b = jax.lax.rem(slot - o1, meta.caps[1])
-    row_c = jax.lax.rem(slot - o2, meta.caps[2])
-    row_d = jax.lax.rem(slot - o3, meta.caps[3])
-    g = jnp.where(
-        slot < o1, row_a,
-        jnp.where(
-            slot < o2, meta.idx_b[jnp.clip(row_b, 0, meta.caps[1] - 1)],
-            jnp.where(
-                slot < o3, meta.idx_c[jnp.clip(row_c, 0, meta.caps[2] - 1)],
-                meta.idx_d[jnp.clip(row_d, 0, meta.caps[3] - 1)],
-            ),
-        ),
-    )
-    return g.astype(jnp.int32)

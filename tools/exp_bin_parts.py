@@ -67,22 +67,19 @@ def main():
         counts_a = jnp.where(counts <= B.R1, counts, 0)
         gid_all = jnp.arange(n, dtype=jnp.int32)
         key_a, pay_a = B._expand_rows(x0, y0, wx, dq, gid_all, counts_a,
-                                      B.R1, tiles_x, depth_bits, 0)
+                                      B.R1, tiles_x, depth_bits)
 
-        def table(mask, cap, r, off):
+        def table(mask, cap, r):
             idx, rank = B._compact_class(mask, cap, n)
             ok = idx >= 0
             src = jnp.maximum(idx, 0)
             cnt = jnp.where(ok, jnp.minimum(counts[src], r), 0)
             return B._expand_rows(x0[src], y0[src], wx[src], dq[src], src,
-                                  cnt, r, tiles_x, depth_bits, off)
+                                  cnt, r, tiles_x, depth_bits)
 
-        key_b, pay_b = table((counts > B.R1) & (counts <= B.R2), cap_b,
-                             B.R2, n * B.R1)
-        key_c, pay_c = table((counts > B.R2) & (counts <= B.R3), cap_c,
-                             B.R3, n * B.R1 + cap_b * B.R2)
-        key_d, pay_d = table(counts > B.R3, cap_d, num_tiles,
-                             n * B.R1 + cap_b * B.R2 + cap_c * B.R3)
+        key_b, pay_b = table((counts > B.R1) & (counts <= B.R2), cap_b, B.R2)
+        key_c, pay_c = table((counts > B.R2) & (counts <= B.R3), cap_c, B.R3)
+        key_d, pay_d = table(counts > B.R3, cap_d, num_tiles)
         keys = jnp.concatenate([key_a, key_b, key_c, key_d])
         pays = jnp.concatenate([pay_a, pay_b, pay_c, pay_d])
         return keys, pays
