@@ -32,6 +32,10 @@ def add_model_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--n_region", type=int, default=3)
     p.add_argument("--extend_rate", type=float, default=0.2)
     p.add_argument("--visible_rate", type=float, default=0.25)
+    p.add_argument("--data_device", type=str, default="device",
+                   choices=["device", "host"],
+                   help="GT-image residency during training (reference "
+                        "data_device: cuda/cpu)")
 
 
 def add_optim_args(p: argparse.ArgumentParser) -> None:
@@ -64,6 +68,7 @@ def config_from_args(args) -> TrainRunConfig:
         platform=args.platform, pos=args.pos, rot=args.rot,
         m_region=args.m_region, n_region=args.n_region,
         extend_rate=args.extend_rate, visible_rate=args.visible_rate,
+        data_device=args.data_device,
     )
     oc = OptimConfig(
         **{

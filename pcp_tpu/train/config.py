@@ -28,6 +28,11 @@ class ModelConfig:
     white_background: bool = False
     eval: bool = False
     llffhold: int = 83
+    # GT-image residency (arguments/__init__.py:57 data_device): "device"
+    # keeps each train camera's image on the TPU after first use (the
+    # reference default, cuda); "host" re-uploads per step (its cpu mode,
+    # for scenes whose image set exceeds HBM headroom).
+    data_device: str = "device"
     # partition knobs (legacy VastGaussian grid partitioner)
     m_region: int = 3
     n_region: int = 3

@@ -187,6 +187,19 @@ def train_scene(
     t0 = time.time()
     t_last = t0
     it_last = start_iter
+    # GT-image residency (reference data_device, arguments/__init__.py:57):
+    # "device" uploads each train image once and reuses the device buffer
+    # every epoch; "host" re-uploads per step for scenes whose image set
+    # exceeds HBM headroom.
+    gt_dev: Dict[int, jnp.ndarray] = {}
+
+    def gt_of(cam):
+        if cfg.model.data_device != "device":
+            return jnp.asarray(cam.gt_image)
+        buf = gt_dev.get(cam.uid)
+        if buf is None:
+            buf = gt_dev.setdefault(cam.uid, jnp.asarray(cam.gt_image))
+        return buf
     for it in range(start_iter + 1, ocfg.iterations + 1):
         if viewer is not None:
             sh_now = min(cfg.model.sh_degree, (it - 1) // 1000)
@@ -208,7 +221,7 @@ def train_scene(
             state,
             viewmat,
             intrin,
-            jnp.asarray(cam.gt_image),
+            gt_of(cam),
             jnp.int32(cam.uid),
             background,
             sh_degree,
