@@ -46,7 +46,6 @@ import os as _os
 FORCE_PAIR_SORT = _os.environ.get("PCP_PAIR_SORT", "1") == "1"
 DEPTH_ORDER_EXPANSION = _os.environ.get("PCP_DEPTH_ORDER", "1") == "1"
 
-
 class TileBins(NamedTuple):
     tile_gauss: jnp.ndarray   # (num_tiles, max_per_tile) int32 gauss ids; -1 pad
     tile_count: jnp.ndarray   # (num_tiles,) int32 live entries per tile
@@ -177,9 +176,7 @@ def _bin_gaussians_v1(
         s_tile = (s_key >> jnp.uint32(depth_bits)).astype(jnp.int32)
 
     # --- per-tile ranges (identifyTileRanges, rasterizer_impl.cu:116-138) ---
-    tile_range = jnp.arange(num_tiles, dtype=jnp.int32)
-    starts = jnp.searchsorted(s_tile, tile_range, side="left").astype(jnp.int32)
-    ends = jnp.searchsorted(s_tile, tile_range, side="right").astype(jnp.int32)
+    starts, ends = _tile_ranges(s_tile, num_tiles)
     load = ends - starts
     max_tile_load = load.max() if num_tiles > 0 else jnp.int32(0)
     tile_count = jnp.minimum(load, max_per_tile)
@@ -249,7 +246,7 @@ CAPD_DIV = int(_os.environ.get("PCP_CAPD_DIV", "4096"))  # capD = N / 4096
 
 
 def _expand_rows(x0, y0, wx, dq, gid, counts, r, tiles_x, depth_bits):
-    """(C,) per-row rect/depth/id data -> (C*r,) sort keys + payload.
+    """(C,) per-row rect/depth/id data -> (C*r,) sort keys (+ payload).
 
     Slot j of a row maps to tile (x0 + j % wx, y0 + j // wx) via the exact
     float-reciprocal div (no hardware integer division); slots >= count get
@@ -261,9 +258,11 @@ def _expand_rows(x0, y0, wx, dq, gid, counts, r, tiles_x, depth_bits):
     the VPU datapath for every op in this chain. The flat order is r-major,
     which is irrelevant pre-sort (is_stable=False).
 
-    Payload: the owning Gaussian id. (A global-slot-id payload variant —
-    for a unique-index backward scatter — was measured and removed; see
-    PERF_NOTES "class-reduce backward".)"""
+    Payload: the owning Gaussian id; ``gid=None`` skips it (A/B harness
+    use). (Two payload-elimination variants were measured and removed:
+    a global-slot-id payload for a unique-index backward scatter, and a
+    payload-free [tile|depth-rank] single-array sort with post-window id
+    recovery — both slower end-to-end; see PERF_NOTES.)"""
     c = x0.shape[0]
     local = jnp.arange(r, dtype=jnp.int32)[:, None]            # (r, 1)
     valid = local < counts[None, :]
@@ -277,8 +276,24 @@ def _expand_rows(x0, y0, wx, dq, gid, counts, r, tiles_x, depth_bits):
         (tile << jnp.uint32(depth_bits)) | dq[None, :],
         jnp.uint32(0xFFFFFFFF),
     )
+    if gid is None:
+        return key.reshape(-1)
     pay = jnp.broadcast_to(gid[None, :], key.shape)
     return key.reshape(-1), pay.reshape(-1)
+
+
+def _tile_ranges(s_tile, num_tiles):
+    """Per-tile [start, end) ranges in a SORTED tile-id array
+    (identifyTileRanges analog, rasterizer_impl.cu:116-138).
+
+    s_tile is non-decreasing, so end(t) == first index with id > t ==
+    start(t+1): ONE searchsorted over num_tiles+1 queries covers both
+    (each query is ~22 sequential binary-search gather rounds on TPU —
+    halving the query set halves the table-range cost)."""
+    bounds = jnp.searchsorted(
+        s_tile, jnp.arange(num_tiles + 1, dtype=s_tile.dtype), side="left"
+    ).astype(jnp.int32)
+    return bounds[:num_tiles], bounds[1:]
 
 
 def _compact_class(mask, cap, n):
@@ -329,7 +344,7 @@ def bin_gaussians_v2(
                                 tiles_x, depth_bits)
 
     def table(mask, cap, r):
-        idx, rank = _compact_class(mask, cap, n)
+        idx, rank_c = _compact_class(mask, cap, n)
         ok = idx >= 0
         src = jnp.maximum(idx, 0)
         cnt = jnp.where(ok, jnp.minimum(counts[src], r), 0)
@@ -338,7 +353,7 @@ def bin_gaussians_v2(
             tiles_x, depth_bits,
         )
         # drops: whole Gaussians past the table cap + per-row truncation
-        over = jnp.sum(jnp.where(mask & (rank >= cap), counts, 0))
+        over = jnp.sum(jnp.where(mask & (rank_c >= cap), counts, 0))
         trunc = jnp.sum(jnp.where(ok, counts[src] - cnt, 0))
         return key, pay, over + trunc
 
@@ -355,9 +370,7 @@ def bin_gaussians_v2(
     s_key, s_pay = jax.lax.sort((keys, pays), num_keys=1, is_stable=False)
     s_tile = (s_key >> jnp.uint32(depth_bits)).astype(jnp.int32)
 
-    tile_range = jnp.arange(num_tiles, dtype=jnp.int32)
-    starts = jnp.searchsorted(s_tile, tile_range, side="left").astype(jnp.int32)
-    ends = jnp.searchsorted(s_tile, tile_range, side="right").astype(jnp.int32)
+    starts, ends = _tile_ranges(s_tile, num_tiles)
     load = ends - starts
     max_tile_load = load.max() if num_tiles > 0 else jnp.int32(0)
     tile_count = jnp.minimum(load, max_per_tile)
