@@ -46,6 +46,12 @@ import os as _os
 FORCE_PAIR_SORT = _os.environ.get("PCP_PAIR_SORT", "1") == "1"
 DEPTH_ORDER_EXPANSION = _os.environ.get("PCP_DEPTH_ORDER", "1") == "1"
 
+# Window extraction: "slice" = vmap dynamic_slice (num_tiles contiguous
+# K-row DMA copies); "gather" = one (nt, K) element gather at
+# starts[:, None] + arange(K). A/B knob — the slice path issues ~2k small
+# async DMAs per step which show up as sustained DMA-queue pressure.
+WINDOW_MODE = _os.environ.get("PCP_WINDOW", "slice")
+
 class TileBins(NamedTuple):
     tile_gauss: jnp.ndarray   # (num_tiles, max_per_tile) int32 gauss ids; -1 pad
     tile_count: jnp.ndarray   # (num_tiles,) int32 live entries per tile
@@ -384,9 +390,13 @@ def bin_gaussians_v2(
     # gathers.
     s_pay_pad = jnp.concatenate(
         [s_pay, jnp.full((max_per_tile,), -1, s_pay.dtype)])
-    pay_tbl = jax.vmap(
-        lambda s: jax.lax.dynamic_slice(s_pay_pad, (s,), (max_per_tile,))
-    )(starts)
+    if WINDOW_MODE == "gather":
+        pos = starts[:, None] + k_idx
+        pay_tbl = s_pay_pad[jnp.minimum(pos, s_pay_pad.shape[0] - 1)]
+    else:
+        pay_tbl = jax.vmap(
+            lambda s: jax.lax.dynamic_slice(s_pay_pad, (s,), (max_per_tile,))
+        )(starts)
     tile_gauss = jnp.where(live, pay_tbl, -1)
 
     return TileBins(

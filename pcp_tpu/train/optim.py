@@ -70,6 +70,44 @@ def adam_step(params, grads, state, lrs, step=None):
     return new_params, {"mu": new_mu, "nu": new_nu, "count": count}
 
 
+def adam_step_grouped(params, grads, state, lrs, step=None):
+    """adam_step over per-group FLATTENED leaves.
+
+    Semantically identical to adam_step, but each top-level group's
+    subtree (params, grads, mu, nu) is ravelled into one vector before
+    the update and unravelled after. For many-small-leaf trees (the
+    appearance net: ~26 conv kernels/biases) the per-leaf formulation
+    compiles to ~26 tiny fusions that each stall on a cross-memory copy
+    (~5 ms/step measured on TPU); one fused vector update per group
+    removes the stalls. State layout in/out is unchanged (checkpoints,
+    surgery, tests unaffected); the ravel/unravel is pure reshapes +
+    concats (~8 MB/step at appearance scale, negligible)."""
+    from jax.flatten_util import ravel_pytree
+
+    count = state["count"] + 1
+    t = count.astype(jnp.float32)
+    bc1 = 1.0 - B1**t
+    bc2 = 1.0 - B2**t
+    if step is None:
+        step = count
+
+    new_params, new_mu, new_nu = {}, {}, {}
+    for k in params:
+        lr = lrs[k](step) if callable(lrs[k]) else jnp.asarray(
+            lrs[k], jnp.float32)
+        p, unravel = ravel_pytree(params[k])
+        g, _ = ravel_pytree(grads[k])
+        m, _ = ravel_pytree(state["mu"][k])
+        v, _ = ravel_pytree(state["nu"][k])
+        m = B1 * m + (1 - B1) * g
+        v = B2 * v + (1 - B2) * g * g
+        p = p - lr * (m / bc1) / (jnp.sqrt(v / bc2) + EPS)
+        new_params[k] = unravel(p)
+        new_mu[k] = unravel(m)
+        new_nu[k] = unravel(v)
+    return new_params, {"mu": new_mu, "nu": new_nu, "count": count}
+
+
 def zero_moments(state, written_mask, keys=None):
     """Zero Adam moments at slots flagged in ``written_mask`` (C,) —
     the densification optimizer-state surgery. ``keys`` limits which

@@ -200,7 +200,8 @@ def train_step_impl(
 
     params, opt_g = optim.adam_step(state.params, g_gauss, state.opt_g, lrs_g)
     if use_appearance and state.app is not None:
-        app, opt_a = optim.adam_step(state.app, g_app, state.opt_a, lrs_a)
+        app, opt_a = optim.adam_step_grouped(state.app, g_app, state.opt_a,
+                                             lrs_a)
     else:
         app, opt_a = state.app, state.opt_a
 

@@ -12,9 +12,15 @@ built to the density statistics of converged 3DGS blocks instead:
 - opacity is uniform in [0.1, 0.8] (a converged mix; exercises early
   termination the way real scenes do);
 - the result is ~8 tiles/Gaussian mean (~0.8M pairs at 100k live,
-  800x600), max tile load comfortably under max_per_tile=1024, and ZERO
-  drops through binning v2's class tables — verified and reported by
-  bench.py as `overflow`/`tile_saturated`.
+  800x600), max tile load 456 < max_per_tile=512, and ZERO drops through
+  binning v2's class tables — verified and reported by bench.py as
+  `overflow`/`tile_saturated`.
+
+max_per_tile sizes the kernel's K axis, and the composite cost tracks K
+even when chunks past the real load are compute-skipped — each dead
+chunk still DMAs its att block (measured: K=1024 costs +19 ms/step over
+K=512 at the same 456 max load). Keep K the smallest CH multiple with
+headroom over the observed max tile load.
 """
 
 from __future__ import annotations
@@ -25,7 +31,7 @@ W, H = 800, 600
 FX = FY = 700.0
 CAPACITY = 1 << 17
 N_POINTS = 100_000
-MAX_PER_TILE = 1024
+MAX_PER_TILE = 512
 SIGMA_PX_MEDIAN = 4.0
 SIGMA_PX_LOGSTD = 0.6
 
