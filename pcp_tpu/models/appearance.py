@@ -84,6 +84,47 @@ class UpsampleBlock(nn.Module):
         return nn.relu(x)
 
 
+def _conv3x3_mm(x, kernel, bias):
+    """3x3 SAME conv as 9 shifted (B*H*W, Cin) @ (Cin, Cout) matmuls.
+
+    Functionally identical to nn.Conv(padding=1) (HIGHEST precision, f32
+    accumulate), but avoids XLA:TPU's convolution emitter, whose full-res
+    NHWC lowering at C=16 inserts multi-ms layout-change copies on both
+    sides (profiled: ~4.6 ms of a 54 ms train step for the two final
+    convs' copies alone). The 9 shifted reads fuse into the matmuls; the
+    backward becomes 9 reduce-major matmuls for dW (MXU-shaped) and 9
+    shifted matmuls for dx — no conv ops anywhere."""
+    b, h, w, cin = x.shape
+    cout = kernel.shape[-1]
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    out = None
+    for dy in range(3):
+        for dx in range(3):
+            xs = jax.lax.slice(
+                xp, (0, dy, dx, 0), (b, dy + h, dx + w, cin))
+            o = jnp.einsum("bhwc,cd->bhwd", xs, kernel[dy, dx],
+                           precision=jax.lax.Precision.HIGHEST)
+            out = o if out is None else out + o
+    return out + bias
+
+
+class MMConv(nn.Module):
+    """Drop-in for nn.Conv(features, (3,3), padding=1) with identical
+    param names/shapes/init (checkpoint-compatible), applied via
+    _conv3x3_mm."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x):
+        cin = x.shape[-1]
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (3, 3, cin, self.features)
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return _conv3x3_mm(x, kernel, bias)
+
+
 class AppearanceNetwork(nn.Module):
     """Input (B, H/32, W/32, 3+64) -> multiplicative map (B, H, W, 3)."""
 
@@ -95,8 +136,10 @@ class AppearanceNetwork(nn.Module):
         x = UpsampleBlock(32)(x)
         x = UpsampleBlock(16)(x)
         x = _bilinear_resize(x, h, w)
-        x = nn.relu(nn.Conv(16, (3, 3), padding=1)(x))
-        x = nn.Conv(3, (3, 3), padding=1)(x)
+        # full-res tail as matmul convs (names match the nn.Conv layout
+        # the rest of the net uses, so params/checkpoints are unchanged)
+        x = nn.relu(MMConv(16, name="Conv_1")(x))
+        x = MMConv(3, name="Conv_2")(x)
         return nn.sigmoid(x)
 
 
