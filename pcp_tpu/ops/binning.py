@@ -302,17 +302,31 @@ def _tile_ranges(s_tile, num_tiles):
     return bounds[:num_tiles], bounds[1:]
 
 
-def _compact_class(mask, cap, n):
-    """Indices of masked Gaussians scattered into a (cap,) table (-1 pad);
-    rows past ``cap`` are dropped (counted by the caller)."""
-    rank = jnp.cumsum(mask.astype(jnp.int32)) - 1
-    tgt = jnp.where(mask & (rank < cap), rank, cap)
-    idx = (
-        jnp.full((cap,), -1, jnp.int32)
-        .at[tgt]
-        .set(jnp.arange(n, dtype=jnp.int32), mode="drop")
-    )
-    return idx, rank
+def _compact_classes(masks_caps, n):
+    """Stream-compact several disjoint masks into their (cap,) tables
+    with ONE scatter (-1 pads; rows past a cap are dropped, counted by
+    the caller via the returned ranks).
+
+    Three separate scatters measured ~0.6 ms EACH on TPU regardless of
+    table size (per-scatter fixed cost dominates at these shapes); the
+    fused form pays it once."""
+    src = jnp.arange(n, dtype=jnp.int32)
+    total = sum(cap for _, cap in masks_caps)
+    tgt = jnp.full((n,), total, jnp.int32)
+    ranks = []
+    off = 0
+    for mask, cap in masks_caps:
+        rank = jnp.cumsum(mask.astype(jnp.int32)) - 1
+        ranks.append(rank)
+        tgt = jnp.where(mask & (rank < cap), off + rank, tgt)
+        off += cap
+    idx_all = jnp.full((total,), -1, jnp.int32).at[tgt].set(src, mode="drop")
+    out = []
+    off = 0
+    for (mask, cap), rank in zip(masks_caps, ranks):
+        out.append((idx_all[off:off + cap], rank))
+        off += cap
+    return out
 
 
 def bin_gaussians_v2(
@@ -349,8 +363,15 @@ def bin_gaussians_v2(
     key_a, pay_a = _expand_rows(x0, y0, wx, dq, gid_all, counts_a, R1,
                                 tiles_x, depth_bits)
 
-    def table(mask, cap, r):
-        idx, rank_c = _compact_class(mask, cap, n)
+    compacted = _compact_classes(
+        [((counts > R1) & (counts <= R2), cap_b),
+         ((counts > R2) & (counts <= R3), cap_c),
+         (counts > R3, cap_d)],
+        n,
+    )
+
+    def table(which, mask, cap, r):
+        idx, rank_c = compacted[which]
         ok = idx >= 0
         src = jnp.maximum(idx, 0)
         cnt = jnp.where(ok, jnp.minimum(counts[src], r), 0)
@@ -363,13 +384,13 @@ def bin_gaussians_v2(
         trunc = jnp.sum(jnp.where(ok, counts[src] - cnt, 0))
         return key, pay, over + trunc
 
-    key_b, pay_b, drop_b = table((counts > R1) & (counts <= R2), cap_b, R2)
-    key_c, pay_c, drop_c = table((counts > R2) & (counts <= R3), cap_c, R3)
+    key_b, pay_b, drop_b = table(0, (counts > R1) & (counts <= R2), cap_b, R2)
+    key_c, pay_c, drop_c = table(1, (counts > R2) & (counts <= R3), cap_c, R3)
     # class D: footprints beyond R3 get rows as wide as the whole tile grid
     # (a footprint cannot exceed num_tiles), so nothing is ever truncated;
     # the table is tiny (N/4096 rows) because such splats are vanishingly
     # rare in any scene that survives densify/prune.
-    key_d, pay_d, drop_d = table(counts > R3, cap_d, num_tiles)
+    key_d, pay_d, drop_d = table(2, counts > R3, cap_d, num_tiles)
 
     keys = jnp.concatenate([key_a, key_b, key_c, key_d])
     pays = jnp.concatenate([pay_a, pay_b, pay_c, pay_d])
