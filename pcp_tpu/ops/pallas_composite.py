@@ -259,6 +259,69 @@ def _local_alpha(mx, my, ca, cb, cc, op, valid, px, py):
     return alpha, dx, dy
 
 
+# Alpha evaluation on the MXU: power = -0.5*(a*dx^2 + c*dy^2) - b*dx*dy is,
+# in LOCAL tile coordinates, a (P, 6) pixel basis [1, px, py, px^2, px*py,
+# py^2] (integers <= 225 — exact bf16) times a per-slot (6, CH) coefficient
+# matrix (bf16x3 split, like _mxu_cumsum). Moves ~10 of the ~30 VPU ops per
+# slot-pixel onto the MXU. Error ~2^-24 * |coeff terms| (the terms are
+# O(10) for any slot whose tile rect the splat actually touches), so the
+# `power > 0` degenerate-conic skip gets a 1e-6 guard band.
+USE_MXU_POWER = _os.environ.get("PCP_MXU_POWER", "1") == "1"
+
+
+def _local_alpha_mxu(at, i, tiles_x, p0, np_):
+    """Per-slot alpha via the MXU pixel-basis matmul (no dx/dy outputs).
+
+    at (NA, TB, CH); returns alpha (TB, np_, CH) for the pixel slice
+    [p0, p0+np_) of the block's tiles."""
+    rows = i * TB + jax.lax.broadcasted_iota(jnp.int32, (TB, CH), 0)
+    tx0 = ((rows % tiles_x) * TILE).astype(jnp.float32)
+    ty0 = ((rows // tiles_x) * TILE).astype(jnp.float32)
+    mxl = _row(at, _I_MX) - tx0
+    myl = _row(at, _I_MY) - ty0
+    ca = _row(at, _I_CA)
+    cb = _row(at, _I_CB)
+    cc = _row(at, _I_CC)
+    q = jnp.concatenate(
+        [
+            (-0.5 * (ca * mxl * mxl + cc * myl * myl) - cb * mxl * myl)[None],
+            (ca * mxl + cb * myl)[None],
+            (cc * myl + cb * mxl)[None],
+            (-0.5 * ca)[None],
+            (-cb)[None],
+            (-0.5 * cc)[None],
+        ],
+        axis=0,
+    )                                                # (6, TB, CH)
+    lane = p0 + jax.lax.broadcasted_iota(jnp.int32, (np_, 1), 0)
+    pxl = (lane % TILE).astype(jnp.float32)          # (np_, 1)
+    pyl = (lane // TILE).astype(jnp.float32)
+    basis = jnp.concatenate(
+        [jnp.ones_like(pxl), pxl, pyl, pxl * pxl, pxl * pyl, pyl * pyl],
+        axis=1,
+    )                                                # (np_, 6), exact bf16
+    hi = _trunc_bf16(q)
+    rem = q - hi
+    mid = _trunc_bf16(rem)
+    lo = rem - mid
+    powers = []
+    for t in range(TB):
+        sl = lambda x: jax.lax.slice_in_dim(x, t, t + 1, axis=1)[:, 0, :]
+        p_t = (
+            jnp.dot(basis, sl(hi), preferred_element_type=jnp.float32)
+            + jnp.dot(basis, sl(mid), preferred_element_type=jnp.float32)
+            + jnp.dot(basis, sl(lo), preferred_element_type=jnp.float32)
+        )
+        powers.append(p_t[None])
+    power = jnp.concatenate(powers, axis=0)          # (TB, np_, CH)
+    op = _row(at, _I_OP)[:, None, :]
+    alpha = jnp.minimum(ALPHA_MAX, op * jnp.exp(power))
+    alpha = jnp.where(
+        (power > 1.0e-6) | (alpha < ALPHA_MIN) | ~(op > 0), 0.0, alpha
+    )
+    return alpha
+
+
 NA = 9  # packed attribute rows: mx my ca cb cc r g b op
 # Slot validity is carried by opacity: rasterize zeroes every attribute of
 # pad/dead slots (ids < 0), and op == 0 already composites to exactly
@@ -323,11 +386,15 @@ def _fwd_kernel(att, color_ref, tfin_ref, ncontrib_ref,
 def _fwd_chunk_body(a, color_ref, t_scr, d_scr, nc_scr, scan_scr, i, c_idx,
                     tiles_x):
     if True:  # body lifted verbatim out of _fwd_kernel's nested pl.when
-        px, py = _pix_coords(i, tiles_x)
-        alpha, _, _ = _local_alpha(
-            _row(a, _I_MX), _row(a, _I_MY), _row(a, _I_CA), _row(a, _I_CB),
-            _row(a, _I_CC), _row(a, _I_OP), _row(a, _I_VALID), px, py,
-        )
+        if USE_MXU_POWER:
+            alpha = _local_alpha_mxu(a, i, tiles_x, 0, P)
+        else:
+            px, py = _pix_coords(i, tiles_x)
+            alpha, _, _ = _local_alpha(
+                _row(a, _I_MX), _row(a, _I_MY), _row(a, _I_CA),
+                _row(a, _I_CB), _row(a, _I_CC), _row(a, _I_OP),
+                _row(a, _I_VALID), px, py,
+            )
 
         trans_in = t_scr[:]                               # (TB, P)
         if USE_MXU_SCANS:
@@ -411,11 +478,16 @@ def _bwd_chunk_body(att, gcolor, gtfin, tfin, ncontrib, datt, t_scr, s_scr,
                     scan1, scan2, i, c_idx, p_idx, tiles_x):
     psl = pl.ds(p_idx * PP, PP)
     at = att[:]
-    px, py = _pix_coords_slice(i, p_idx, tiles_x)
-    alpha, dx, dy = _local_alpha(
-        _row(at, _I_MX), _row(at, _I_MY), _row(at, _I_CA), _row(at, _I_CB),
-        _row(at, _I_CC), _row(at, _I_OP), _row(at, _I_VALID), px, py,
-    )
+    if USE_MXU_POWER and USE_BWD_MOMENTS:
+        alpha = _local_alpha_mxu(at, i, tiles_x, p_idx * PP, PP)
+        dx = dy = None  # only the non-moments plane path needs them
+    else:
+        px, py = _pix_coords_slice(i, p_idx, tiles_x)
+        alpha, dx, dy = _local_alpha(
+            _row(at, _I_MX), _row(at, _I_MY), _row(at, _I_CA),
+            _row(at, _I_CB), _row(at, _I_CC), _row(at, _I_OP),
+            _row(at, _I_VALID), px, py,
+        )
     slot = (
         c_idx * CH + jax.lax.broadcasted_iota(jnp.int32, alpha.shape, 2)
     ).astype(jnp.float32)
@@ -458,7 +530,7 @@ def _bwd_chunk_body(att, gcolor, gtfin, tfin, ncontrib, datt, t_scr, s_scr,
     ca2 = _row(at, _I_CA)
     cb2 = _row(at, _I_CB)
     cc2 = _row(at, _I_CC)
-    zero = jnp.zeros((1, dx.shape[0], dx.shape[2]), jnp.float32)
+    zero = jnp.zeros((1, alpha.shape[0], alpha.shape[2]), jnp.float32)
     if USE_BWD_MOMENTS:
         # dx = pxl - mxl in LOCAL tile coordinates (pxl in [0, TILE)), so
         # the 5 mean/conic plane reductions are polynomial combinations of
@@ -560,11 +632,14 @@ def _fwd_kernel_fused(att, color_ref, tfin_ref, ncontrib_ref,
         @pl.when(jnp.min(d_scr[:]) < 0.5)
         def _compute():
             a = att[:, :, pl.ds(c_idx * CH, CH)]
-            alpha, _, _ = _local_alpha(
-                _row(a, _I_MX), _row(a, _I_MY), _row(a, _I_CA),
-                _row(a, _I_CB), _row(a, _I_CC), _row(a, _I_OP),
-                _row(a, _I_VALID), px, py,
-            )
+            if USE_MXU_POWER:
+                alpha = _local_alpha_mxu(a, i, tiles_x, 0, P)
+            else:
+                alpha, _, _ = _local_alpha(
+                    _row(a, _I_MX), _row(a, _I_MY), _row(a, _I_CA),
+                    _row(a, _I_CB), _row(a, _I_CC), _row(a, _I_OP),
+                    _row(a, _I_VALID), px, py,
+                )
             trans_in = t_scr[:]
             if USE_MXU_SCANS:
                 prod_raw = _mxu_cumprod(1.0 - alpha)
@@ -623,11 +698,18 @@ def _bwd_kernel_fused(att, gcolor, gtfin, tfin, ncontrib, datt,
         @pl.when((c_idx * CH).astype(jnp.float32) < nc_max)
         def _compute():
             at = att[:, :, ksl]
-            alpha, dx, dy = _local_alpha(
-                _row(at, _I_MX), _row(at, _I_MY), _row(at, _I_CA),
-                _row(at, _I_CB), _row(at, _I_CC), _row(at, _I_OP),
-                _row(at, _I_VALID), px, py,
-            )
+            if USE_MXU_POWER:
+                alpha = _local_alpha_mxu(at, i, tiles_x, 0, P)
+                # fused bwd keeps the dx/dy plane path below, so recompute
+                # them cheaply (subs only; the quadratic moved to the MXU)
+                dx = px[:, :, None] - _row(at, _I_MX)[:, None, :]
+                dy = py[:, :, None] - _row(at, _I_MY)[:, None, :]
+            else:
+                alpha, dx, dy = _local_alpha(
+                    _row(at, _I_MX), _row(at, _I_MY), _row(at, _I_CA),
+                    _row(at, _I_CB), _row(at, _I_CC), _row(at, _I_OP),
+                    _row(at, _I_VALID), px, py,
+                )
             slot = (
                 c_idx * CH
                 + jax.lax.broadcasted_iota(jnp.int32, alpha.shape, 2)

@@ -40,17 +40,19 @@ ALPHA_MAX = 0.99
 T_EPS = 1.0e-4
 
 # Backward-path knob for the per-Gaussian gradient reduction in
-# composite_fused: "add" (default) = the batched per-plane gather's
-# autodiff scatter-add onto the (NA, N) plane-major pack; "off" = replace
-# the scatter with a cheap full-reduce that keeps the kernel VJP alive
-# but produces garbage dpack — MEASUREMENT ONLY (tools/exp_step_parts3).
+# composite_fused: "segsum" (default) = sort-based segment-sum backward
+# (no scatter; see _gather_rows_segsum — measured 42.7 vs 46.1 ms/step);
+# "add" = the batched per-plane gather's autodiff scatter-add onto the
+# (NA, N) plane-major pack; "off" = replace the scatter with a cheap
+# full-reduce that keeps the kernel VJP alive but produces garbage
+# dpack — MEASUREMENT ONLY (tools/exp_step_parts3).
 # A "class" variant (unique-slot scatter into expansion-slot space +
 # dense per-class reductions, via PCP_SLOT_PAYLOAD=1 slot ids) was built
 # and measured at 154 vs 72 ms/step — TPU lane-pads a (slots, 9) buffer
 # minor dim to 128, ~1.9 GB of traffic — and removed; see PERF_NOTES.
 import os as _os
 
-_GRAD_SCATTER = _os.environ.get("PCP_GRAD_SCATTER", "add")
+_GRAD_SCATTER = _os.environ.get("PCP_GRAD_SCATTER", "segsum")
 
 # When True, rasterize(use_pallas=None) picks the XLA composite even on the
 # TPU backend. Used by cross-device parity tools that run the same program
@@ -79,6 +81,76 @@ def _grns_bwd(res, g):
 
 
 _gather_rows_noscatter.defvjp(_grns_fwd, _grns_bwd)
+
+
+@jax.custom_vjp
+def _gather_rows_segsum(pack, idc):
+    """Plane-major gather whose backward reduces per-Gaussian WITHOUT a
+    duplicate-index scatter-add.
+
+    XLA:TPU lowers the (nt*K)-index scatter-add of the gather's autodiff
+    backward at ~13.5 ns/index (it internally sorts, then runs a serial
+    per-index row-update loop) — 13.1 ms/step at bench scale, the single
+    largest op in the step. The backward here is sort-based and fully
+    vectorized; crucially it avoids BOTH scatters and searchsorted (a
+    131k-query searchsorted is a 22-round while loop at ~0.9 ms/round —
+    measured 19 ms, worse than the scatter it replaced):
+
+      1. sort (key = 2*gid+1 for the nt*K pair slots CONCATENATED with one
+         key = 2*gid sentinel per Gaussian; payload = position) — each
+         sentinel lands immediately BEFORE its Gaussian's segment;
+      2. gather the cotangent planes through the sorted payload (sentinels
+         pull a zero column), one cumsum per plane;
+      3. recover every sentinel's sorted position with a SECOND sort (the
+         inverse permutation: sort (payload, iota) by payload; positions of
+         the N sentinels are then a contiguous slice — no scatter);
+      4. per-Gaussian sums = differences of the exclusive prefix sums at
+         consecutive sentinel positions.
+
+    Accuracy: each Gaussian's gradient is a difference of two fp32 prefix
+    sums whose magnitude can exceed the segment sum by ~sqrt(n_pairs), so
+    the result carries ~1e-5 relative error vs the scatter's sequential
+    accumulation — well inside the 1e-3 parity gate and far below bf16.
+    """
+    return jax.vmap(lambda v: v[idc])(pack)
+
+
+def _grss_fwd(pack, idc):
+    return _gather_rows_segsum(pack, idc), (pack.shape[1], idc)
+
+
+def _grss_bwd(res, g):
+    import numpy as np
+
+    n, idc = res
+    na = g.shape[0]
+    idc_flat = idc.reshape(-1).astype(jnp.int32)
+    m = idc_flat.shape[0]
+
+    keys = jnp.concatenate(
+        [idc_flat * 2 + 1, jnp.arange(n, dtype=jnp.int32) * 2])
+    pay = jnp.arange(m + n, dtype=jnp.int32)
+    _, s_pay = jax.lax.sort((keys, pay), num_keys=1, is_stable=False)
+
+    # cotangents in sorted order; sentinel rows (payload >= m) pull the
+    # zero pad column
+    g_pad = jnp.concatenate(
+        [g.reshape(na, m), jnp.zeros((na, 1), g.dtype)], axis=1)
+    gs = jnp.take(g_pad, jnp.minimum(s_pay, m), axis=1)
+    ecs = jnp.pad(jnp.cumsum(gs, axis=1), ((0, 0), (1, 0)))  # exclusive
+
+    # inverse permutation: where did concat position p land in the sort?
+    _, inv = jax.lax.sort(
+        (s_pay, jnp.arange(m + n, dtype=jnp.int32)), num_keys=1,
+        is_stable=False)
+    pos = inv[m:]                              # sentinel g's sorted position
+    pos_ext = jnp.concatenate([pos, jnp.full((1,), m + n, jnp.int32)])
+    dpack = ecs[:, pos_ext[1:]] - ecs[:, pos_ext[:-1]]
+    didc = np.zeros(idc.shape, dtype=jax.dtypes.float0)
+    return dpack, didc
+
+
+_gather_rows_segsum.defvjp(_grss_fwd, _grss_bwd)
 
 
 def _chunk_body(carry, chunk, *, n_pix):
@@ -276,6 +348,8 @@ def composite_fused(
     )                                               # (NA=9, N)
     if _GRAD_SCATTER == "off":
         att = _gather_rows_noscatter(pack, idc)
+    elif _GRAD_SCATTER == "segsum":
+        att = _gather_rows_segsum(pack, idc)        # (NA, nt, K)
     else:
         att = jax.vmap(lambda v: v[idc])(pack)      # (NA, nt, K)
     att = att * valid[None]                         # pads: opacity/valid -> 0
