@@ -84,7 +84,7 @@ _gather_rows_noscatter.defvjp(_grns_fwd, _grns_bwd)
 
 
 @jax.custom_vjp
-def _gather_rows_segsum(pack, idc):
+def _gather_rows_segsum(pack, idc, counts, exact_ok):
     """Plane-major gather whose backward reduces per-Gaussian WITHOUT a
     duplicate-index scatter-add.
 
@@ -101,9 +101,11 @@ def _gather_rows_segsum(pack, idc):
          sentinel lands immediately BEFORE its Gaussian's segment;
       2. gather the cotangent planes through the sorted payload (sentinels
          pull a zero column), one cumsum per plane;
-      3. recover every sentinel's sorted position with a SECOND sort (the
-         inverse permutation: sort (payload, iota) by payload; positions of
-         the N sentinels are then a contiguous slice — no scatter);
+      3. recover every sentinel's sorted position: when ``exact_ok`` (no
+         binning drops, no tile saturation) every footprint pair reached
+         the table, so sentinel i sits at i + sum(counts[:i]) + (window
+         pads, all gid 0, for i >= 1) — plain cumsum of ``counts``.
+         Otherwise fall back to a second (inverse-permutation) sort;
       4. per-Gaussian sums = differences of the exclusive prefix sums at
          consecutive sentinel positions.
 
@@ -111,18 +113,22 @@ def _gather_rows_segsum(pack, idc):
     sums whose magnitude can exceed the segment sum by ~sqrt(n_pairs), so
     the result carries ~1e-5 relative error vs the scatter's sequential
     accumulation — well inside the 1e-3 parity gate and far below bf16.
+
+    ``counts`` is the per-Gaussian tile-footprint count (binning's pair
+    expansion source of truth); ``exact_ok`` is a traced bool scalar.
     """
     return jax.vmap(lambda v: v[idc])(pack)
 
 
-def _grss_fwd(pack, idc):
-    return _gather_rows_segsum(pack, idc), (pack.shape[1], idc)
+def _grss_fwd(pack, idc, counts, exact_ok):
+    out = _gather_rows_segsum(pack, idc, counts, exact_ok)
+    return out, (pack.shape[1], idc, counts, exact_ok)
 
 
 def _grss_bwd(res, g):
     import numpy as np
 
-    n, idc = res
+    n, idc, counts, exact_ok = res
     na = g.shape[0]
     idc_flat = idc.reshape(-1).astype(jnp.int32)
     m = idc_flat.shape[0]
@@ -139,15 +145,33 @@ def _grss_bwd(res, g):
     gs = jnp.take(g_pad, jnp.minimum(s_pay, m), axis=1)
     ecs = jnp.pad(jnp.cumsum(gs, axis=1), ((0, 0), (1, 0)))  # exclusive
 
-    # inverse permutation: where did concat position p land in the sort?
-    _, inv = jax.lax.sort(
-        (s_pay, jnp.arange(m + n, dtype=jnp.int32)), num_keys=1,
-        is_stable=False)
-    pos = inv[m:]                              # sentinel g's sorted position
+    def pos_from_counts(_):
+        # Sentinel i's sorted position = i sentinels before it + all pairs
+        # of gids < i. Valid only when every footprint pair reached the
+        # window table (exact_ok): then gid g owns exactly counts[g] table
+        # slots, except gid 0 which also absorbs every -1->0-clamped
+        # window pad slot.
+        c = counts.astype(jnp.int32)
+        ecounts = jnp.pad(jnp.cumsum(c)[:n - 1], (1, 0))     # sum counts[:i]
+        pads = m - jnp.sum(c)
+        i = jnp.arange(n, dtype=jnp.int32)
+        return i + ecounts + jnp.where(i >= 1, pads, 0)
+
+    def pos_from_sort(_):
+        # inverse permutation: where did concat position p land in the
+        # sort? (needed whenever drops/saturation broke the counts)
+        _, inv = jax.lax.sort(
+            (s_pay, jnp.arange(m + n, dtype=jnp.int32)), num_keys=1,
+            is_stable=False)
+        return inv[m:]
+
+    pos = jax.lax.cond(exact_ok, pos_from_counts, pos_from_sort, None)
     pos_ext = jnp.concatenate([pos, jnp.full((1,), m + n, jnp.int32)])
     dpack = ecs[:, pos_ext[1:]] - ecs[:, pos_ext[:-1]]
     didc = np.zeros(idc.shape, dtype=jax.dtypes.float0)
-    return dpack, didc
+    dcounts = np.zeros(counts.shape, dtype=jax.dtypes.float0)
+    dok = np.zeros((), dtype=jax.dtypes.float0)
+    return dpack, didc, dcounts, dok
 
 
 _gather_rows_segsum.defvjp(_grss_fwd, _grss_bwd)
@@ -349,7 +373,14 @@ def composite_fused(
     if _GRAD_SCATTER == "off":
         att = _gather_rows_noscatter(pack, idc)
     elif _GRAD_SCATTER == "segsum":
-        att = _gather_rows_segsum(pack, idc)        # (NA, nt, K)
+        # per-Gaussian footprint counts (same formula as binning's pair
+        # expansion) let the backward skip its inverse-permutation sort
+        # whenever nothing was dropped (the honest-bench operating point)
+        rect = prep["rect"]
+        counts = ((rect[:, 2] - rect[:, 0])
+                  * (rect[:, 3] - rect[:, 1])).astype(jnp.int32)
+        exact_ok = (bins.n_dropped == 0) & (bins.max_tile_load <= k)
+        att = _gather_rows_segsum(pack, idc, counts, exact_ok)
     else:
         att = jax.vmap(lambda v: v[idc])(pack)      # (NA, nt, K)
     att = att * valid[None]                         # pads: opacity/valid -> 0
