@@ -20,12 +20,19 @@ import jax.numpy as jnp
 NUM_EMBEDDINGS = 2048
 EMBED_DIM = 64
 
-# Optional bfloat16 CNN compute (params stay f32; output cast back). OFF
-# by default: measured no end-to-end gain on TPU (10.73 vs 10.76 iters/s)
-# — the net is not conv-throughput-bound — so keep reference-exact f32.
+# bfloat16 CNN compute (params stay f32 in the optimizer — standard mixed
+# precision; output cast back to f32). ON by default since the full-res
+# tail became shifted matmuls: the tail is HBM-traffic-bound (9 shifted
+# reads of a 30 MB activation per conv), so halving bytes is a straight
+# win — measured 42.1 -> 41.0 ms/step, train-step parity gate unchanged
+# (tools/tpu_parity_check.py). Earlier "no gain" measurements (10.73 vs
+# 10.76, then 54.0 vs 54.5) predate the matmul-conv rewrite, when the
+# conv emitter's layout copies, not bandwidth, bounded the net. The net
+# has no cancellation-sensitive math (cf. the SSIM bf16 bug): it is
+# convs + relu + sigmoid on O(1) activations. PCP_APP_BF16=0 reverts.
 import os as _os
 
-APP_BF16 = _os.environ.get("PCP_APP_BF16", "0") == "1"
+APP_BF16 = _os.environ.get("PCP_APP_BF16", "1") == "1"
 
 
 def _pixel_shuffle(x: jnp.ndarray, r: int = 2) -> jnp.ndarray:

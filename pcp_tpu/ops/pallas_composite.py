@@ -71,6 +71,11 @@ PP = int(_os.environ.get("PCP_PP", "256"))
 # iters/s end to end. PCP_MXU_SCANS=0 falls back to exact f32 roll scans.
 USE_MXU_SCANS = _os.environ.get("PCP_MXU_SCANS", "1") == "1"
 
+# Split knob: with MXU scans on, route only the CUMPRODs (which pay a
+# log+exp transcendental round-trip to ride the matmul) back to the VPU
+# roll scan, keeping the additive scans on the MXU. A/B-only.
+USE_MXU_CUMPROD = _os.environ.get("PCP_MXU_CUMPROD", "1") == "1"
+
 # Backward mean/conic planes as pixel-moment matmuls (see _bwd_chunk_body):
 # the 5 (TB, PP, CH)->(TB, CH) masked reduces + their dx/dy polynomial
 # products collapse into 3 bf16x3 matmuls against an EXACT bf16 basis
@@ -397,7 +402,7 @@ def _fwd_chunk_body(a, color_ref, t_scr, d_scr, nc_scr, scan_scr, i, c_idx,
             )
 
         trans_in = t_scr[:]                               # (TB, P)
-        if USE_MXU_SCANS:
+        if USE_MXU_SCANS and USE_MXU_CUMPROD:
             prod_raw = _mxu_cumprod(1.0 - alpha)          # (TB, P, CH)
         else:
             prod_raw = _cumprod_slots(1.0 - alpha, scan_scr)
@@ -497,7 +502,7 @@ def _bwd_chunk_body(att, gcolor, gtfin, tfin, ncontrib, datt, t_scr, s_scr,
     # suffix product of (1 - alpha): T before slot k = t_end / suffix[k].
     # Bounded: the forward sticky stop keeps T >= ~1e-4 among applied
     # slots, so the divisor never underflows where the result matters.
-    if USE_MXU_SCANS:
+    if USE_MXU_SCANS and USE_MXU_CUMPROD:
         suffix = _mxu_cumprod(1.0 - alpha, reverse=True)
     else:
         suffix = _cumprod_slots_rev(1.0 - alpha, scan1)
@@ -641,7 +646,7 @@ def _fwd_kernel_fused(att, color_ref, tfin_ref, ncontrib_ref,
                     _row(a, _I_VALID), px, py,
                 )
             trans_in = t_scr[:]
-            if USE_MXU_SCANS:
+            if USE_MXU_SCANS and USE_MXU_CUMPROD:
                 prod_raw = _mxu_cumprod(1.0 - alpha)
             else:
                 prod_raw = _cumprod_slots(1.0 - alpha)
@@ -717,7 +722,7 @@ def _bwd_kernel_fused(att, gcolor, gtfin, tfin, ncontrib, datt,
             alpha = jnp.where(slot < ncontrib[:][:, :, None], alpha, 0.0)
 
             t_end = t_scr[:]
-            if USE_MXU_SCANS:
+            if USE_MXU_SCANS and USE_MXU_CUMPROD:
                 suffix = _mxu_cumprod(1.0 - alpha, reverse=True)
             else:
                 suffix = _cumprod_slots_rev(1.0 - alpha)
