@@ -119,3 +119,39 @@ def test_preprocess_culls_behind_camera(rng):
     assert not bool(prep["visible"][0])
     assert bool(prep["visible"][1])
     assert float(prep["radii"][0]) == 0.0
+
+
+def test_segsum_pos_branches_identical(rng):
+    # The segment-sum gradient reduction recovers sentinel positions two
+    # ways: from footprint counts (exact_ok, the no-drop fast path) or an
+    # inverse-permutation sort (lossy-frame fallback). Both must produce
+    # the SAME per-Gaussian sums, and match the plain scatter-add gather
+    # backward to prefix-sum accuracy.
+    from pcp_tpu.ops.rasterize import _gather_rows_segsum
+
+    N, nt, K, NA = 300, 80, 16, 9
+    pack = jnp.asarray(rng.normal(size=(NA, N)).astype(np.float32))
+    counts = rng.integers(0, 6, N).astype(np.int32)
+    gids = np.repeat(np.arange(N), counts)
+    ids = np.full(nt * K, -1, np.int64)
+    ids[: gids.size] = rng.permutation(gids)
+    ids = ids.reshape(nt, K)
+    idc = jnp.asarray(np.maximum(ids, 0).astype(np.int32))
+    valid = jnp.asarray((ids >= 0).astype(np.float32))
+    cnt = jnp.asarray(counts)
+    weight = jnp.arange(NA * nt * K, dtype=jnp.float32).reshape(NA, nt, K)
+
+    def loss(pack, ok):
+        att = _gather_rows_segsum(pack, idc, cnt, jnp.asarray(ok))
+        return jnp.sum(jnp.sin(att * valid[None]) * weight)
+
+    def loss_ref(pack):
+        att = jax.vmap(lambda v: v[idc])(pack)
+        return jnp.sum(jnp.sin(att * valid[None]) * weight)
+
+    g_ref = jax.grad(loss_ref)(pack)
+    g_counts = jax.grad(loss, argnums=0)(pack, True)
+    g_sort = jax.grad(loss, argnums=0)(pack, False)
+    assert float(jnp.abs(g_counts - g_sort).max()) == 0.0
+    scale = float(jnp.abs(g_ref).max())
+    assert float(jnp.abs(g_counts - g_ref).max()) / scale < 1e-4
