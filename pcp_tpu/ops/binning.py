@@ -288,6 +288,43 @@ def _expand_rows(x0, y0, wx, dq, gid, counts, r, tiles_x, depth_bits):
     return key.reshape(-1), pay.reshape(-1)
 
 
+def autosize_max_per_tile(rects_and_grids, chunk=None, headroom=1.6,
+                          floor=128, cap=4096):
+    """Pick ``max_per_tile`` from measured per-tile loads (host, one-shot).
+
+    ``rects_and_grids``: iterable of (rect (N, 4) int array from
+    ``projection.preprocess``, tiles_x, tiles_y) over sample views.
+    Per-view loads come from a 2-D difference array (+1/-1 at the four
+    rect corners, two cumsums) — exact per-tile counts in O(N + tiles),
+    no expansion. Returns the smallest multiple of ``chunk`` (the
+    composite kernel's CH, so no dead chunk slots) >= headroom * the max
+    observed load, clamped to [floor, cap]. Headroom covers densify
+    growth; the training loop's tile-saturation warning reports if a
+    scene outgrows it (loads beyond K keep the nearest K).
+    """
+    import numpy as np
+
+    if chunk is None:
+        from pcp_tpu.ops import pallas_composite as pc
+
+        chunk = pc.CH
+    maxload = 0
+    for rect, tx, ty in rects_and_grids:
+        r = np.asarray(rect)
+        r = r[(r[:, 2] > r[:, 0]) & (r[:, 3] > r[:, 1])]
+        if r.size == 0:
+            continue
+        d = np.zeros((ty + 1, tx + 1), np.int64)
+        np.add.at(d, (r[:, 1], r[:, 0]), 1)
+        np.add.at(d, (r[:, 1], np.minimum(r[:, 2], tx)), -1)
+        np.add.at(d, (np.minimum(r[:, 3], ty), r[:, 0]), -1)
+        np.add.at(d, (np.minimum(r[:, 3], ty), np.minimum(r[:, 2], tx)), 1)
+        load = d.cumsum(0).cumsum(1)[:ty, :tx]
+        maxload = max(maxload, int(load.max()))
+    k = max(floor, int(-(-headroom * maxload // chunk)) * chunk)
+    return int(min(k, cap))
+
+
 def _tile_ranges(s_tile, num_tiles):
     """Per-tile [start, end) ranges in a SORTED tile-id array
     (identifyTileRanges analog, rasterizer_impl.cu:116-138).

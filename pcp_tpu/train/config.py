@@ -70,7 +70,7 @@ class OptimConfig:
     appearance_network_lr: float = 0.001
     # TPU additions (static capacities; reference grows dynamically)
     capacity: int = 1 << 20          # per-block Gaussian slot cap (<= 6M ref)
-    max_per_tile: int = 1024
+    max_per_tile: int = 1024         # 0 = auto-size from sample-view loads
     pairs_per_gaussian: int = 16
     min_opacity: float = 0.005
 

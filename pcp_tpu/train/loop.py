@@ -164,6 +164,40 @@ def train_scene(
         key, init_key = jax.random.split(key)
         state = init_state(scene, cfg, (w, h), init_key)
 
+    # --max_per_tile 0: auto-size the per-tile slot cap from measured
+    # loads on sample views (smallest CH multiple with 1.6x headroom) —
+    # compositing cost scales ~linearly with K, so right-sizing it is the
+    # single biggest per-scene knob (PERF_NOTES "max_per_tile
+    # right-sizing"). Densify growth is covered by the headroom + the
+    # saturation warning below.
+    if ocfg.max_per_tile == 0:
+        import dataclasses as _dc
+
+        from pcp_tpu.ops.binning import autosize_max_per_tile
+        from pcp_tpu.ops.projection import TILE as _TILE
+        from pcp_tpu.ops.projection import preprocess as _preprocess
+
+        sample = cams[:: max(1, len(cams) // 8)][:8]
+        scales_a = G.scaling_act(state.params["scaling"])
+        opac_a = (G.opacity_act(state.params["opacity"])[:, 0]
+                  * state.alive.astype(jnp.float32))
+        sh_a = G.sh_coeffs(state.params)
+        rects = []
+        pre = jax.jit(_preprocess, static_argnums=(7, 8))
+        for cam in sample:
+            viewmat_s, intrin_s = cam_mod.camera_device_arrays(cam)
+            prep_s = pre(state.params["xyz"], scales_a,
+                         state.params["rotation"], opac_a, sh_a,
+                         viewmat_s, intrin_s, (cam.width, cam.height),
+                         cfg.model.sh_degree)
+            rects.append((np.asarray(prep_s["rect"]),
+                          (cam.width + _TILE - 1) // _TILE,
+                          (cam.height + _TILE - 1) // _TILE))
+        ocfg = _dc.replace(ocfg, max_per_tile=autosize_max_per_tile(rects))
+        if log_fn:
+            log_fn(f"auto max_per_tile -> {ocfg.max_per_tile} "
+                   f"({len(sample)} sample views)")
+
     # one compiled step per distinct camera resolution (the appearance net
     # is fully convolutional, so a single param set serves every size)
     step_fns = {

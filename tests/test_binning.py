@@ -151,3 +151,26 @@ def test_v2_class_d_table_overflow_is_counted(monkeypatch):
     b = _bins("v2", rect, list(np.arange(9) + 1.0), max_per_tile=16)
     assert int(b.n_pairs) == 9 * 12
     assert int(b.n_dropped) == 12  # exactly one whole row's worth
+
+
+def test_autosize_max_per_tile():
+    import numpy as np
+
+    from pcp_tpu.ops.binning import autosize_max_per_tile
+
+    # 10 gaussians covering tile (2,3) through overlapping rects; exact
+    # max load must be 10 -> ceil(1.6*10/128)*128 clamped to floor 128
+    rect = np.tile(np.array([[1, 2, 4, 5]]), (10, 1)).astype(np.int32)
+    k = autosize_max_per_tile([(rect, 8, 8)], chunk=128)
+    assert k == 128
+    # heavy synthetic load: 900 rects over one tile -> 1.6*900 = 1440 ->
+    # next multiple of 128 is 1536
+    rect = np.tile(np.array([[0, 0, 1, 1]]), (900, 1)).astype(np.int32)
+    assert autosize_max_per_tile([(rect, 4, 4)], chunk=128) == 1536
+    # cap and empty-view behaviour
+    assert autosize_max_per_tile([(rect[:0], 4, 4)], chunk=128) == 128
+    rect = np.tile(np.array([[0, 0, 1, 1]]), (90000, 1)).astype(np.int32)
+    assert autosize_max_per_tile([(rect, 4, 4)], chunk=128) == 4096
+    # rects clamped to the grid edge must not overflow the diff array
+    rect = np.array([[6, 6, 8, 8]], np.int32)
+    assert autosize_max_per_tile([(rect, 8, 8)], chunk=128) == 128
