@@ -31,6 +31,25 @@ ITERS = 30
 
 
 def main() -> None:
+    # Per-stage breakdown FIRST, in its own process that runs to completion
+    # BEFORE this process initializes the TPU client: two live TPU processes
+    # contend on the one chip and inflate every number ~2x (round-2 verdict:
+    # the committed breakdown claimed binning_ms > full_step_ms).
+    breakdown = None
+    if os.environ.get("PCP_BENCH_BREAKDOWN", "1") == "1":
+        import subprocess
+        import sys
+
+        out = subprocess.run(
+            [sys.executable,
+             os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "tools", "profile_stages.py")],
+            capture_output=True, text=True, timeout=1800,
+        )
+        for ln in out.stdout.splitlines():
+            if ln.startswith("{"):
+                breakdown = json.loads(ln)
+
     import jax
     import jax.numpy as jnp
 
@@ -85,23 +104,6 @@ def main() -> None:
     dt = time.perf_counter() - t0
 
     iters_per_sec = ITERS / dt
-
-    # Per-stage breakdown (separate process so its compiles don't pollute
-    # this timing; skip with PCP_BENCH_BREAKDOWN=0).
-    breakdown = None
-    if os.environ.get("PCP_BENCH_BREAKDOWN", "1") == "1":
-        import subprocess
-        import sys
-
-        out = subprocess.run(
-            [sys.executable,
-             os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                          "tools", "profile_stages.py")],
-            capture_output=True, text=True, timeout=1800,
-        )
-        for ln in out.stdout.splitlines():
-            if ln.startswith("{"):
-                breakdown = json.loads(ln)
 
     print(json.dumps({
         "metric": "train_iters_per_sec_100k_gauss_800x600",

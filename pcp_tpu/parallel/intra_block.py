@@ -356,19 +356,32 @@ def train_scene_sharded(
     *,
     save_name: str = "point_cloud",
     log_fn=print,
+    checkpoint_every: int = 2000,
+    resume: bool = True,
 ) -> TrainState:
     """Train ONE oversized block sharded over ``mesh`` with the reference
     cadence (densify window/interval, opacity reset, SH warm-up) — the
     auto_train --intra_block path for blocks that exceed a chip's HBM
     (README.md:90-99 threshold<->VRAM table; this removes the need to
-    shrink the partition threshold)."""
+    shrink the partition threshold).
+
+    Durability parity with the fleet path: a ROLLING checkpoint
+    (``chkpnt_sharded.npz`` every ``checkpoint_every`` iters, written
+    atomically; resumed on re-entry when ``resume``), TB/JSONL scalars via
+    TrainLogger, and held-out-view L1/PSNR at ``cfg.test_iterations``
+    rendered through the SHARDED renderer (an oversized block never has to
+    fit one device, even for eval). Reference: train.py:160-162 full
+    checkpoints, training_report:188-243."""
     import os
     import random as _random
 
     from pcp_tpu.scene import cameras as cam_mod
     from pcp_tpu.scene.dataset import split_train_test
+    from pcp_tpu.train import checkpoint as ckpt
     from pcp_tpu.train.loop import init_state, save_model
+    from pcp_tpu.train.logging import TrainLogger
     from pcp_tpu.train.step import opacity_reset_impl
+    from pcp_tpu.utils.image import psnr as psnr_fn
 
     d = mesh.devices.size
     ocfg = cfg.optim
@@ -376,8 +389,9 @@ def train_scene_sharded(
         f"capacity {ocfg.capacity} must divide the {d}-way gauss mesh")
     model_path = cfg.model.model_path
     os.makedirs(model_path, exist_ok=True)
+    ckpt_path = os.path.join(model_path, "chkpnt_sharded.npz")
 
-    train_infos, _ = split_train_test(
+    train_infos, test_infos = split_train_test(
         scene.cameras, cfg.model.eval, cfg.model.llffhold,
         explicit_test=getattr(scene, "test_camera_uids", None),
     )
@@ -385,32 +399,69 @@ def train_scene_sharded(
     sizes = sorted({(c.width, c.height) for c in cams})
     assert len(sizes) == 1, "intra-block path: one camera resolution per block"
     w, h = sizes[0]
+    test_cams = [c for c in (cam_mod.from_info(i, cfg.model.resolution)
+                             for i in test_infos)
+                 if (c.width, c.height) == (w, h)]
 
     key = jax.random.PRNGKey(cfg.seed)
     key, k0 = jax.random.split(key)
-    state = init_state(scene, cfg, (w, h), k0)
-    bal_params, bal_alive = balance_for_sharding(state.params, state.alive, d)
+    host_template = init_state(scene, cfg, (w, h), k0)
+    start_iter = 0
+    if resume and os.path.exists(ckpt_path):
+        # the checkpoint was saved post-balancing: shard directly, no
+        # re-permutation (Adam moments/stats must stay aligned with params)
+        host_state, start_iter = ckpt.load(ckpt_path, host_template)
+        bal_params, bal_alive = host_state.params, host_state.alive
+        opt_g_h, stats_h = host_state.opt_g, host_state.stats
+        app_h, opt_a_h = host_state.app, host_state.opt_a
+        key = jax.random.fold_in(key, start_iter)
+        if log_fn:
+            log_fn(f"[sharded x{d}] resumed {ckpt_path} @ iter {start_iter}")
+    else:
+        bal_params, bal_alive = balance_for_sharding(
+            host_template.params, host_template.alive, d)
+        opt_g_h, stats_h = host_template.opt_g, host_template.stats
+        app_h, opt_a_h = host_template.app, host_template.opt_a
     p_sh, a_sh = shard_params(bal_params, bal_alive, mesh)
     state = TrainState(
         params=p_sh,
-        app=state.app,
-        opt_g=shard_tree(state.opt_g, mesh),
-        opt_a=state.opt_a,
+        app=app_h,
+        opt_g=shard_tree(opt_g_h, mesh),
+        opt_a=opt_a_h,
         alive=a_sh,
-        stats=shard_tree(state.stats, mesh),
+        stats=shard_tree(stats_h, mesh),
     )
 
     step = make_sharded_train_step_full(
         mesh, ocfg, (w, h), use_appearance=cfg.pipeline.use_appearance)
     densify = make_sharded_densify(mesh, ocfg)
     reset = jax.jit(opacity_reset_impl, donate_argnums=(0,))
+    eval_render_cache = {}
 
+    def eval_tests(state, sh_degree):
+        if sh_degree not in eval_render_cache:
+            eval_render_cache[sh_degree] = make_sharded_render(
+                mesh, (w, h), sh_degree, max_per_tile=ocfg.max_per_tile,
+                pairs_per_gaussian=ocfg.pairs_per_gaussian)
+        render = eval_render_cache[sh_degree]
+        l1s, psnrs = [], []
+        for cam in test_cams:
+            vm, intr = cam_mod.camera_device_arrays(cam)
+            img = jnp.clip(
+                render(state.params, state.alive, vm, intr, background),
+                0.0, 1.0)
+            gt = jnp.asarray(cam.gt_image)
+            l1s.append(float(jnp.mean(jnp.abs(img - gt))))
+            psnrs.append(float(psnr_fn(img[None], gt[None])[0]))
+        return {"l1": float(np.mean(l1s)), "psnr": float(np.mean(psnrs))}
+
+    logger = TrainLogger(model_path)
     background = jnp.asarray(
         [1.0, 1.0, 1.0] if cfg.model.white_background else [0.0, 0.0, 0.0])
-    rng = _random.Random(cfg.seed)
+    rng = _random.Random(cfg.seed + start_iter)
     stack = []
     extent = jnp.float32(scene.extent)
-    for it in range(1, ocfg.iterations + 1):
+    for it in range(start_iter + 1, ocfg.iterations + 1):
         if not stack:
             stack = list(range(len(cams)))
             rng.shuffle(stack)
@@ -430,11 +481,28 @@ def train_scene_sharded(
                 cfg.model.white_background and it == ocfg.densify_from_iter
             ):
                 state = reset(state)
-        if log_fn and (it % 100 == 0 or it == 1):
-            log_fn(f"[sharded x{d}] iter {it:6d} "
-                   f"loss {float(metrics['loss']):.5f} "
-                   f"alive {int(np.asarray(state.alive).sum())}")
+        if it % 100 == 0 or it == 1:
+            n_alive = int(np.asarray(state.alive).sum())
+            logger.scalars(it, {
+                "train_loss_patches/total_loss": float(metrics["loss"]),
+                "total_points": n_alive,
+            })
+            if log_fn:
+                log_fn(f"[sharded x{d}] iter {it:6d} "
+                       f"loss {float(metrics['loss']):.5f} alive {n_alive}")
+        if checkpoint_every and it % checkpoint_every == 0:
+            tmp = ckpt_path[:-len(".npz")] + ".tmp.npz"  # keep npz backend
+            ckpt.save(tmp, jax.device_get(state), it)
+            os.replace(tmp, ckpt_path)
+        if it in getattr(cfg, "test_iterations", ()) and test_cams:
+            m = eval_tests(state, sh_degree)
+            logger.scalars(it, {"test/loss_viewpoint_l1": m["l1"],
+                                "test/loss_viewpoint_psnr": m["psnr"]})
+            if log_fn:
+                log_fn(f"[sharded x{d}] [eval {it}] test l1 {m['l1']:.4f} "
+                       f"psnr {m['psnr']:.2f}")
 
     host = jax.device_get(state)
     save_model(host, model_path, ocfg.iterations, save_name)
+    logger.close()
     return host

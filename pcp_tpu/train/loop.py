@@ -65,6 +65,11 @@ def evaluate_cameras(state, cams, sh_degree, background, ocfg) -> Dict[str, floa
     dispatch + host-side metric math per camera."""
     from pcp_tpu.eval.render_batch import eval_views
 
+    # PCP_EVAL_BATCH caps the vmapped view batch: the default 8 is right
+    # for small/medium blocks; at reference scale (2M-slot capacity,
+    # megapixel views) 8 concurrent render graphs would multiply the
+    # binning workspace past HBM — scale runs set 1.
+    max_batch = int(os.environ.get("PCP_EVAL_BATCH", "8"))
     l1s, psnrs = [], []
     by_size: Dict[tuple, list] = {}
     for cam in cams:
@@ -74,7 +79,7 @@ def evaluate_cameras(state, cams, sh_degree, background, ocfg) -> Dict[str, floa
             state.params, state.alive, group, sh_degree, background,
             max_per_tile=ocfg.max_per_tile,
             pairs_per_gaussian=ocfg.pairs_per_gaussian,
-            batch=min(8, len(group)),
+            batch=min(max_batch, len(group)),
         )
         l1s.extend(l1)
         psnrs.extend(ps)

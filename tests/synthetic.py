@@ -72,9 +72,19 @@ def write_synthetic_scene(
     H: int = 48,
     radius: float = 5.0,
     image_ext: str = "png",
+    appearance_jitter: float = 0.0,
 ):
     """Create `<out_dir>/{images/, sparse/0/*.bin}`; returns the true
-    Gaussian tuple for oracle comparisons."""
+    Gaussian tuple for oracle comparisons.
+
+    ``appearance_jitter`` > 0 applies a per-VIEW exposure/white-balance
+    gain to each saved GT image (log-uniform in ±jitter, one exposure
+    scalar x three channel gains) — the real-photo variation the
+    reference's appearance-decoupling network exists to absorb
+    (scene/ptgs/appearance_network.py:7-61; train.py:111-117 trains L1 on
+    the decoupled image). The underlying radiance field stays consistent,
+    so appearance-ON training should recover it and beat appearance-OFF
+    on color-corrected held-out PSNR."""
     from PIL import Image as PILImage
 
     from pcp_tpu.io import colmap
@@ -95,6 +105,11 @@ def write_synthetic_scene(
         )
         R, t = look_at_w2c(pos, (0.0, 0.0, 0.0))
         img = render_true_scene(xyz, rgb, scales, quats, opac, R, t, fx, fy, W, H)
+        if appearance_jitter > 0.0:
+            j = appearance_jitter
+            exposure = np.exp(rng.uniform(-j, j))
+            wb = np.exp(rng.uniform(-j / 2, j / 2, size=3))
+            img = np.clip(img * (exposure * wb)[None, None, :], 0.0, 1.0)
         name = f"im{i:03d}.{image_ext}"
         PILImage.fromarray((img * 255).astype(np.uint8)).save(
             os.path.join(out_dir, "images", name)

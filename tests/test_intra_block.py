@@ -146,3 +146,66 @@ def test_sharded_full_trainer_with_densify(rng):
     assert shard_shapes == {(256 // 8, 3)}
     # densify stats were reset
     assert float(np.asarray(state.stats["denom"]).sum()) == 0.0
+
+
+def test_sharded_trainer_checkpoint_resume(tmp_path):
+    """Durability of the intra-block trainer: a run that stops after its
+    rolling checkpoint resumes from chkpnt_sharded.npz (not from scratch)
+    and finishes the schedule — with TB/JSONL scalars and a held-out eval
+    along the way (fleet-path parity, VERDICT round-2 item 6)."""
+    import os
+
+    from tests.synthetic import write_synthetic_scene
+
+    from pcp_tpu.parallel.intra_block import gauss_mesh, train_scene_sharded
+    from pcp_tpu.scene import load_colmap_scene
+    from pcp_tpu.train.config import (
+        ModelConfig,
+        OptimConfig,
+        PipelineConfig,
+        TrainRunConfig,
+    )
+
+    scene_dir = tmp_path / "scene"
+    write_synthetic_scene(str(scene_dir), np.random.default_rng(7),
+                          n_points=80, n_cams=9)
+    scene = load_colmap_scene(str(scene_dir))
+    out = str(tmp_path / "out")
+
+    def make_cfg(iters):
+        return TrainRunConfig(
+            model=ModelConfig(source_path=str(scene_dir), model_path=out,
+                              resolution=1, sh_degree=3, eval=True,
+                              llffhold=9),
+            optim=OptimConfig(
+                iterations=iters, capacity=256, max_per_tile=128,
+                pairs_per_gaussian=64,
+                densify_from_iter=10, densification_interval=10,
+                densify_until_iter=iters, opacity_reset_interval=10_000,
+            ),
+            pipeline=PipelineConfig(use_appearance=False),
+            test_iterations=[iters],
+            save_iterations=[],
+        )
+
+    mesh = gauss_mesh(8)
+    logs = []
+    # leg 1: "killed" right after the iter-20 rolling checkpoint
+    train_scene_sharded(scene, make_cfg(20), mesh, checkpoint_every=10,
+                        log_fn=logs.append)
+    ck = os.path.join(out, "chkpnt_sharded.npz")
+    assert os.path.exists(ck)
+    assert not any("resumed" in l for l in logs)
+
+    # leg 2: re-entry resumes at 20 and completes 40
+    state = train_scene_sharded(scene, make_cfg(40), mesh,
+                                checkpoint_every=10, log_fn=logs.append)
+    assert any("resumed" in l and "iter 20" in l for l in logs), logs[:5]
+    assert any("[eval 40]" in l for l in logs), logs
+    assert os.path.exists(
+        os.path.join(out, "point_cloud", "iteration_40", "point_cloud.ply"))
+    # JSONL observability accumulated across both legs
+    steps = [__import__("json").loads(ln)["step"]
+             for ln in open(os.path.join(out, "train_log.jsonl"))]
+    assert min(steps) == 1 and max(steps) == 40
+    assert np.isfinite(np.asarray(state.params["xyz"])).all()

@@ -1,21 +1,22 @@
 """Torch-free .pth ingestion for LPIPS weights.
 
-Authors REAL torch zip checkpoints with torch.save (torch is available in
-the test environment; the production reader must not import it), then
-verifies eval/torch_pth.load_pth reproduces every tensor bit-exactly and
-that the LPIPS pipeline (convert -> make_lpips -> metric) runs end to end
-from the .pth files alone. Reference: lpipsPyTorch/__init__.py:6-30,
+Fixtures are authored with the pure-stdlib zip+pickle writer in
+tests/pth_writer.py (NOT torch.save), so eval/torch_pth.load_pth is
+exercised in torch-free environments — the production constraint it exists
+for. When a real torch is importable, an extra cross-check asserts
+torch.load round-trips the stdlib-written file and load_pth round-trips a
+torch.save-written one. Reference: lpipsPyTorch/__init__.py:6-30,
 lpipsPyTorch/modules/lpips.py:1-36."""
 
 from __future__ import annotations
 
 import os
-import sys
 
 import numpy as np
 import pytest
 
-torch = pytest.importorskip("torch")
+from tests.pth_writer import Tensor, bf16_bits_to_f32, f32_to_bf16_bits, \
+    save_pth
 
 
 def _fake_alexnet_sd(rng):
@@ -29,9 +30,9 @@ def _fake_alexnet_sd(rng):
     }
     sd = {}
     for ci, (o, i, k) in shapes.items():
-        sd[f"features.{ci}.weight"] = torch.tensor(
+        sd[f"features.{ci}.weight"] = (
             rng.standard_normal((o, i, k, k)).astype(np.float32) * 0.05)
-        sd[f"features.{ci}.bias"] = torch.tensor(
+        sd[f"features.{ci}.bias"] = (
             rng.standard_normal(o).astype(np.float32) * 0.05)
     return sd
 
@@ -39,8 +40,8 @@ def _fake_alexnet_sd(rng):
 def _fake_lins_sd(rng):
     chans = [64, 192, 384, 256, 256]
     return {
-        f"lin{i}.model.1.weight": torch.tensor(
-            np.abs(rng.standard_normal((1, c, 1, 1))).astype(np.float32))
+        f"lin{i}.model.1.weight":
+            np.abs(rng.standard_normal((1, c, 1, 1))).astype(np.float32)
         for i, c in enumerate(chans)
     }
 
@@ -49,28 +50,36 @@ def test_load_pth_bit_exact(tmp_path):
     from pcp_tpu.eval.torch_pth import load_pth
 
     rng = np.random.default_rng(0)
-    sd = _fake_alexnet_sd(rng)
-    # add assorted dtypes + a non-contiguous tensor + a scalar
-    sd["extra.double"] = torch.tensor(rng.standard_normal((5, 7)))
-    sd["extra.long"] = torch.tensor(
-        rng.integers(-(1 << 40), 1 << 40, (3, 4)))
-    sd["extra.bool"] = torch.tensor(
-        rng.integers(0, 2, (8,)).astype(bool))
-    sd["extra.noncontig"] = torch.tensor(
-        rng.standard_normal((6, 8)).astype(np.float32)).t()
-    sd["extra.bf16"] = torch.tensor(
-        rng.standard_normal((4, 4)).astype(np.float32)).to(torch.bfloat16)
-    sd["extra.scalar"] = torch.tensor(3.25)
+    sd = {k: Tensor(v) for k, v in _fake_alexnet_sd(rng).items()}
+    # assorted dtypes + a non-contiguous (transposed) tensor + a scalar
+    expect = {k: v.array for k, v in sd.items()}
+
+    sd["extra.double"] = Tensor(rng.standard_normal((5, 7)))
+    expect["extra.double"] = sd["extra.double"].array
+    sd["extra.long"] = Tensor(rng.integers(-(1 << 40), 1 << 40, (3, 4)))
+    expect["extra.long"] = sd["extra.long"].array
+    sd["extra.bool"] = Tensor(rng.integers(0, 2, (8,)).astype(bool))
+    expect["extra.bool"] = sd["extra.bool"].array
+
+    base = rng.standard_normal((6, 8)).astype(np.float32)
+    # transpose serialized torch-style: contiguous storage, swapped strides
+    sd["extra.noncontig"] = Tensor(base.T, buffer=base.reshape(-1),
+                                   strides=(1, 8))
+    expect["extra.noncontig"] = base.T.copy()
+
+    bf_src = rng.standard_normal((4, 4)).astype(np.float32)
+    sd["extra.bf16"] = Tensor(bf_src, bf16=True)
+    expect["extra.bf16"] = bf16_bits_to_f32(f32_to_bf16_bits(bf_src))
+
+    sd["extra.scalar"] = Tensor(np.float32(3.25).reshape(()))
+    expect["extra.scalar"] = np.float32(3.25).reshape(())
+
     p = str(tmp_path / "w.pth")
-    torch.save(sd, p)
+    save_pth(sd, p)
 
     flat = load_pth(p)
-    for k, v in sd.items():
-        got = flat[k]
-        if v.dtype == torch.bfloat16:
-            np.testing.assert_array_equal(got, v.float().numpy())
-        else:
-            np.testing.assert_array_equal(got, v.numpy())
+    for k, v in expect.items():
+        np.testing.assert_array_equal(flat[k], v, err_msg=k)
 
 
 def test_load_pth_rejects_arbitrary_globals(tmp_path):
@@ -99,8 +108,8 @@ def test_lpips_from_pth_end_to_end(tmp_path):
     rng = np.random.default_rng(1)
     alex_p = str(tmp_path / "alexnet.pth")
     lins_p = str(tmp_path / "alex_lins.pth")
-    torch.save(_fake_alexnet_sd(rng), alex_p)
-    torch.save(_fake_lins_sd(rng), lins_p)
+    save_pth(_fake_alexnet_sd(rng), alex_p)
+    save_pth(_fake_lins_sd(rng), lins_p)
 
     npz_p = str(tmp_path / "lpips.npz")
     convert_torch_weights(npz_p, alexnet_pth=alex_p, lpips_pth=lins_p)
@@ -126,5 +135,58 @@ def test_lpips_incomplete_pth_returns_none(tmp_path, capsys):
 
     rng = np.random.default_rng(2)
     lins_p = str(tmp_path / "only_lins.pth")
-    torch.save(_fake_lins_sd(rng), lins_p)
+    save_pth(_fake_lins_sd(rng), lins_p)
     assert make_lpips(lins_p) is None
+
+
+def test_synthetic_weights_tool(tmp_path):
+    """tools/make_lpips_weights.py --synthetic produces a loadable bundle
+    (clearly labeled; stands in until real torchvision weights exist)."""
+    import subprocess
+    import sys
+
+    out = str(tmp_path / "lpips_synth.npz")
+    r = subprocess.run(
+        [sys.executable,
+         os.path.join(os.path.dirname(os.path.dirname(
+             os.path.abspath(__file__))), "tools", "make_lpips_weights.py"),
+         "--synthetic", "--out", out],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr
+    from pcp_tpu.eval.lpips import make_lpips
+
+    fn = make_lpips(out)
+    assert fn is not None
+    rng = np.random.default_rng(3)
+    img1 = rng.uniform(0, 1, (32, 48, 3)).astype(np.float32)
+    img2 = np.clip(img1 + 0.3 * rng.standard_normal(img1.shape),
+                   0, 1).astype(np.float32)
+    assert abs(float(fn(img1, img1))) < 1e-6
+    assert float(fn(img1, img2)) > 1e-5
+
+
+def test_writer_torch_cross_check(tmp_path):
+    """When a real torch exists: torch.load reads the stdlib-written file,
+    and load_pth reads a torch.save-written one — byte-level compatibility
+    in both directions."""
+    torch = pytest.importorskip("torch")
+    from pcp_tpu.eval.torch_pth import load_pth
+
+    rng = np.random.default_rng(4)
+    arrs = {
+        "a.weight": rng.standard_normal((3, 5)).astype(np.float32),
+        "b.bias": rng.standard_normal(7),
+        "c.long": rng.integers(-9, 9, (2, 3)),
+    }
+    ours = str(tmp_path / "ours.pth")
+    save_pth(arrs, ours)
+    via_torch = torch.load(ours, map_location="cpu", weights_only=True)
+    for k, v in arrs.items():
+        np.testing.assert_array_equal(via_torch[k].numpy(), v, err_msg=k)
+
+    theirs = str(tmp_path / "theirs.pth")
+    torch.save({k: torch.tensor(v) for k, v in arrs.items()}, theirs)
+    flat = load_pth(theirs)
+    for k, v in arrs.items():
+        np.testing.assert_array_equal(flat[k], v, err_msg=k)

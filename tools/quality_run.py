@@ -1,19 +1,24 @@
-"""Full-schedule quality proof on the real chip (VERDICT round-2 item 3).
+"""Full-schedule quality proof on the real chip (small scale; the
+reference-operating-point companion is tools/quality_scale_run.py).
 
 Drives the documented production workflow end to end at a
 reference-proportioned schedule:
 
     partition -> auto_train (sequential; densify ON through a 64k-slot
     cap, appearance ON, 10k iterations/block) -> merge -> render ->
-    metrics
+    metrics (incl. LPIPS via a labeled synthetic-weights bundle)
 
 on a mid-size synthetic scene whose ground truth is rendered from a known
 Gaussian set (tests/synthetic.py), plus a no-densify control at the same
-iteration budget. Writes QUALITY_r2.json at the repo root with both
-PSNR/SSIM rows; the densify-on run must beat the control.
+iteration budget; then an appearance-decoupling A/B on a scene with
+per-view exposure/white-balance jitter (the workload the appearance net
+exists for — appearance_network.py:7-61): appearance ON must beat
+appearance OFF on color-corrected test PSNR. Writes QUALITY_r03_small.json
+at the repo root.
 
 Usage: PYTHONPATH=/root/repo:/root/.axon_site python tools/quality_run.py
-       [--scene DIR] [--iters N] (scene is reused if it already exists)
+       [--scene DIR] [--iters N] [--app_iters N]
+       (scene dirs are reused if they already exist)
 """
 
 from __future__ import annotations
@@ -38,7 +43,19 @@ CAPACITY = 1 << 16
 LLFFHOLD = 8
 
 
-def run_variant(scene_dir, name, iters, densify: bool):
+def lpips_weights_path(scene_dir):
+    """Synthetic LPIPS bundle (plumbing stand-in, labeled in the artifact;
+    real torchvision weights are not downloadable here — zero egress)."""
+    p = os.path.join(scene_dir, "lpips_synth.npz")
+    if not os.path.exists(p):
+        from tools.make_lpips_weights import synthetic_bundle
+
+        np.savez(p, **synthetic_bundle(0))
+    return p
+
+
+def run_variant(scene_dir, name, iters, densify: bool,
+                appearance: bool = True):
     from pcp_tpu.cli import auto_train, merge, metrics, render
 
     t0 = time.time()
@@ -57,6 +74,7 @@ def run_variant(scene_dir, name, iters, densify: bool):
         "--capacity", str(CAPACITY), "--max_per_tile", "512",
         "--resolution", "1",
         *densify_args,
+        *([] if appearance else ["--no_appearance"]),
     ])
     manifest = json.load(open(os.path.join(visible, "train_status.json")))
     assert all(v["status"] == "done" for v in manifest.values()), manifest
@@ -64,16 +82,20 @@ def run_variant(scene_dir, name, iters, densify: bool):
     merge.main(["-m", model_dir])
     render.main(["-s", scene_dir, "-m", model_dir, "--resolution", "1",
                  "--llffhold", str(LLFFHOLD)])
-    metrics.main(["-m", model_dir])
+    metrics.main(["-m", model_dir,
+                  "--lpips_weights", lpips_weights_path(scene_dir)])
     method_dir = os.path.join(model_dir, "test", "ours_merged")
     results = json.load(open(os.path.join(method_dir, "results.json")))
     out = {
         "variant": name,
         "iterations": iters,
         "densify": densify,
+        "appearance": appearance,
         "PSNR": results["PSNR"],
         "SSIM": results["SSIM"],
         "LPIPS": results.get("LPIPS"),
+        "lpips_weights": "synthetic (plumbing stand-in; values not "
+                         "comparable to published LPIPS)",
         "wall_minutes": round((time.time() - t0) / 60.0, 1),
         "blocks": len(manifest),
     }
@@ -82,13 +104,33 @@ def run_variant(scene_dir, name, iters, densify: bool):
     return out
 
 
+def _partition(scene):
+    from pcp_tpu.cli import partition
+
+    # fresh partition per variant (auto_train mutates block output dirs)
+    model_dir = os.path.join(scene, "model")
+    if os.path.isdir(model_dir):
+        shutil.rmtree(model_dir)
+    # expansion 6 so the radius-5 orbit cameras fall inside the
+    # extended boxes (center-in-box assignment); visibility selection
+    # (visible_rate) then trims each block's camera set
+    partition.main([
+        scene, "--threshold", "1500", "--expansion_distance", "6",
+        "--visible_rate", "0.25", "--no_plots",
+        "--llffhold", str(LLFFHOLD),
+    ])
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--scene", default="/tmp/quality_scene")
     ap.add_argument("--iters", type=int, default=ITERS)
+    ap.add_argument("--app_iters", type=int, default=6000,
+                    help="iterations for the appearance-jitter A/B pair")
+    ap.add_argument("--skip_densify_pair", action="store_true")
+    ap.add_argument("--skip_appearance_pair", action="store_true")
     args = ap.parse_args()
 
-    from pcp_tpu.cli import partition
     from tests.synthetic import write_synthetic_scene
 
     scene = args.scene
@@ -101,21 +143,30 @@ def main():
         print(f"scene written: {scene}")
 
     rows = []
-    for name, densify in [("densify", True), ("no_densify_control", False)]:
-        # fresh partition per variant (auto_train mutates block output dirs)
-        model_dir = os.path.join(scene, "model")
-        if os.path.isdir(model_dir):
-            shutil.rmtree(model_dir)
-        # expansion 6 so the radius-5 orbit cameras fall inside the
-        # extended boxes (center-in-box assignment); visibility selection
-        # (visible_rate) then trims each block's camera set
-        partition.main([
-            scene, "--threshold", "1500", "--expansion_distance", "6",
-            "--visible_rate", "0.25", "--no_plots",
-            "--llffhold", str(LLFFHOLD),
-        ])
-        rows.append(run_variant(scene, name, args.iters, densify))
-        print(json.dumps(rows[-1]))
+    if not args.skip_densify_pair:
+        for name, densify in [("densify", True),
+                              ("no_densify_control", False)]:
+            _partition(scene)
+            rows.append(run_variant(scene, name, args.iters, densify))
+            print(json.dumps(rows[-1]))
+
+    # Appearance-decoupling A/B on per-view exposure/WB-jittered GT — the
+    # workload the appearance net exists for (VERDICT round-2 item 4).
+    if not args.skip_appearance_pair:
+        jscene = scene.rstrip("/") + "_jitter"
+        if not os.path.isdir(os.path.join(jscene, "sparse")):
+            os.makedirs(jscene, exist_ok=True)
+            write_synthetic_scene(
+                jscene, np.random.default_rng(11), n_points=N_POINTS,
+                n_cams=N_CAMS, W=W, H=H, appearance_jitter=0.45,
+            )
+            print(f"jitter scene written: {jscene}")
+        for name, app in [("jitter_appearance_on", True),
+                          ("jitter_appearance_off", False)]:
+            _partition(jscene)
+            rows.append(run_variant(jscene, name, args.app_iters,
+                                    densify=True, appearance=app))
+            print(json.dumps(rows[-1]))
 
     out = {
         "workload": {
@@ -123,10 +174,14 @@ def main():
             "schedule": f"{args.iters} iters/block, densify 500..75% "
                         f"every 100, opacity reset 3000, appearance ON, "
                         f"capacity {CAPACITY}",
+            "appearance_ab": f"same scene + per-view exposure/WB jitter "
+                             f"0.45 (log-uniform), {args.app_iters} iters, "
+                             f"appearance on vs off, color-corrected "
+                             f"metrics",
         },
         "runs": rows,
     }
-    with open(os.path.join(REPO, "QUALITY_r2.json"), "w") as f:
+    with open(os.path.join(REPO, "QUALITY_r03_small.json"), "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out))
 

@@ -1,0 +1,428 @@
+"""Reference-operating-point proof on the real chip (VERDICT round-2 #1).
+
+The reference's contract is a ~500k-point block from a multi-million-point
+scene, trained for 30,000 iterations at ~megapixel resolution while
+densifying toward a multi-million-Gaussian cap
+(/root/reference/scene/ptgs/shen_partition_utils.py:125 threshold 500k,
+arguments/__init__.py:90 iters 30000, train.py:146 cap 6e6,
+render_and_eval.sh Mill-19 at ~1MP). This tool drives that point end to
+end on pcp_tpu:
+
+  1. scene:     synthetic aerial scene — 8M SfM points over a 96x96 slab,
+                GT rendered at 1280x800 from a 2M-Gaussian "true" cloud
+                whose fine detail (sigma ~2 px) concentrates inside one
+                block so that block legitimately needs >1M Gaussians;
+  2. partition: the production partition CLI (threshold 500k -> 16 blocks
+                of exactly 500k pts);
+  3. train:     the detail block via the production train CLI — capacity
+                2^21 slots, full 30k schedule, densify 1000..30000/200,
+                appearance ON, auto max_per_tile; rolling checkpoints and
+                resume-on-rerun;
+  4. control:   the same block, densify disabled (the quality bar);
+  5. eval:      held-out-view PSNR/SSIM/LPIPS (synthetic-weights LPIPS,
+                labeled) + the step-time-vs-population curve and HBM
+                stats from train_log.jsonl -> QUALITY_r03.json.
+
+Usage (chip): PYTHONPATH=/root/repo:/root/.axon_site \
+    python tools/quality_scale_run.py [--root /tmp/scale_scene]
+    [--phase scene|partition|train|control|eval|all] [--iters 30000]
+    [--smoke]   (smoke: 1500 iters, eval at 500/1500 — shape/HBM shakeout)
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import pickle
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+W, H = 1280, 800                 # 1.024 MP
+FX = FY = 850.0
+SLAB = 48.0                      # scene XY in [-SLAB, SLAB]
+N_SFM = 8_000_000                # -> 16 blocks x 500k after median bisection
+DETAIL_CENTER = np.array([12.0, 12.0])   # a block-center of the 4x4 split
+DETAIL_R = 11.0
+N_FINE = 1_300_000
+N_COARSE = 700_000
+N_CAMS_RING = 104                # over the detail block
+N_CAMS_GRID = 56                 # across the rest of the slab
+CAPACITY = 1 << 21
+CAPACITY_CONTROL = 1 << 20
+LLFFHOLD = 16
+
+
+def make_true_cloud(rng):
+    """Fine detail inside the DETAIL disc + coarse splats elsewhere."""
+    # fine: sigma ~ 2 px at the ~20-unit camera distance
+    th = rng.uniform(0, 2 * np.pi, N_FINE)
+    rr = DETAIL_R * np.sqrt(rng.uniform(0, 1, N_FINE))
+    fine_xy = DETAIL_CENTER + np.stack([rr * np.cos(th), rr * np.sin(th)], 1)
+    fine_z = rng.uniform(0.0, 2.5, N_FINE)
+    fine_xyz = np.concatenate([fine_xy, fine_z[:, None]], 1)
+    fine_scales = np.exp(rng.normal(np.log(0.05), 0.35, (N_FINE, 1))
+                         ) * np.ones((1, 3))
+    coarse_xy = rng.uniform(-SLAB, SLAB, (N_COARSE, 2))
+    coarse_z = rng.uniform(0.0, 3.5, N_COARSE)
+    coarse_xyz = np.concatenate([coarse_xy, coarse_z[:, None]], 1)
+    coarse_scales = np.exp(rng.normal(np.log(0.35), 0.4, (N_COARSE, 1))
+                           ) * np.ones((1, 3))
+    xyz = np.concatenate([fine_xyz, coarse_xyz]).astype(np.float32)
+    scales = np.concatenate([fine_scales, coarse_scales]).astype(np.float32)
+    scales *= np.exp(rng.uniform(-0.3, 0.3, scales.shape)).astype(np.float32)
+    n = xyz.shape[0]
+    rgb = rng.uniform(0.05, 0.95, (n, 3)).astype(np.float32)
+    quats = rng.normal(size=(n, 4)).astype(np.float32)
+    op = rng.uniform(0.55, 0.95, n).astype(np.float32)
+    return xyz, rgb, scales, quats, op
+
+
+def make_cameras(rng):
+    """(pos, target) pairs: rings over the detail block + a slab grid."""
+    cams = []
+    for i in range(N_CAMS_RING):
+        ring = i % 4
+        r = 4.0 + 3.5 * ring
+        ang = 2 * np.pi * (i // 4) / (N_CAMS_RING // 4) + 0.35 * ring
+        pos = np.array([
+            DETAIL_CENTER[0] + r * np.cos(ang),
+            DETAIL_CENTER[1] + r * np.sin(ang),
+            16.0 + 2.5 * ring,
+        ])
+        tgt = np.array([
+            DETAIL_CENTER[0] + 0.35 * r * np.cos(ang + 2.2),
+            DETAIL_CENTER[1] + 0.35 * r * np.sin(ang + 2.2),
+            0.8,
+        ])
+        cams.append((pos, tgt))
+    side = int(np.ceil(np.sqrt(N_CAMS_GRID)))
+    k = 0
+    for gy in range(side):
+        for gx in range(side):
+            if k >= N_CAMS_GRID:
+                break
+            k += 1
+            pos = np.array([
+                -SLAB + (2 * SLAB) * (gx + 0.5) / side + rng.uniform(-2, 2),
+                -SLAB + (2 * SLAB) * (gy + 0.5) / side + rng.uniform(-2, 2),
+                20.0 + rng.uniform(-2, 2),
+            ])
+            tgt = pos + np.array([rng.uniform(-6, 6), rng.uniform(-6, 6),
+                                  -pos[2] + 0.5])
+            cams.append((pos, tgt))
+    return cams
+
+
+def phase_scene(root, rng):
+    from PIL import Image as PILImage
+
+    import jax
+    import jax.numpy as jnp
+
+    from pcp_tpu.io import colmap
+    from pcp_tpu.ops.projection import CameraIntrin
+    from pcp_tpu.ops.rasterize import rasterize
+    from pcp_tpu.utils.graphics import rotmat_to_qvec
+    from pcp_tpu.utils.sh import rgb_to_sh
+    from tests.synthetic import look_at_w2c
+
+    os.makedirs(os.path.join(root, "images"), exist_ok=True)
+    xyz, rgb, scales, quats, op = make_true_cloud(rng)
+    sh = rgb_to_sh(jnp.asarray(rgb))[:, None, :]
+    intrin = CameraIntrin(fx=jnp.float32(FX), fy=jnp.float32(FY),
+                          cx=jnp.float32(W / 2), cy=jnp.float32(H / 2))
+    xyz_j = jnp.asarray(xyz)
+    scales_j = jnp.asarray(scales)
+    quats_j = jnp.asarray(quats)
+    op_j = jnp.asarray(op)
+    bg = jnp.zeros(3)
+
+    render = jax.jit(lambda vm: rasterize(
+        xyz_j, scales_j, quats_j, op_j, sh, vm, intrin, (W, H), bg, 0,
+        max_per_tile=2048)[0])
+
+    cams = {1: colmap.Camera(1, "PINHOLE", W, H,
+                             np.array([FX, FY, W / 2, H / 2]))}
+    imgs = {}
+    t0 = time.time()
+    for i, (pos, tgt) in enumerate(make_cameras(rng)):
+        R, t = look_at_w2c(pos, tgt)
+        vm = np.eye(4, dtype=np.float32)
+        vm[:3, :3] = R
+        vm[:3, 3] = t
+        img = np.clip(np.asarray(render(jnp.asarray(vm))), 0, 1)
+        name = f"im{i:04d}.png"
+        PILImage.fromarray((img * 255).astype(np.uint8)).save(
+            os.path.join(root, "images", name))
+        npts = 20
+        imgs[i + 1] = colmap.Image(
+            i + 1, rotmat_to_qvec(R), t, 1, name,
+            xys=np.zeros((npts, 2)),
+            point3D_ids=np.arange(npts, dtype=np.int64))
+        if i % 20 == 0:
+            print(f"  gt view {i} ({time.time() - t0:.0f}s)")
+
+    # SfM sparse cloud: uniform over the slab (partition balance), colored
+    sfm_xyz = np.concatenate([
+        rng.uniform(-SLAB, SLAB, (N_SFM, 2)),
+        rng.uniform(0.0, 3.0, (N_SFM, 1)),
+    ], 1).astype(np.float32)
+    sfm_rgb = (rng.uniform(0.05, 0.95, (N_SFM, 3)) * 255).astype(np.uint8)
+    pts = colmap.Points3D.from_arrays(sfm_xyz, sfm_rgb)
+    colmap.write_model(cams, imgs, pts, os.path.join(root, "sparse", "0"),
+                       ext=".bin")
+    print(f"scene written: {root} ({time.time() - t0:.0f}s, "
+          f"{len(imgs)} cams, {N_SFM} sfm pts, {xyz.shape[0]} true gauss)")
+
+
+def phase_partition(root):
+    from pcp_tpu.cli import partition
+
+    t0 = time.time()
+    partition.main([root, "--threshold", "500000",
+                    "--expansion_distance", "8",
+                    "--no_plots", "--llffhold", "83"])
+    print(f"partition: {time.time() - t0:.1f}s")
+
+
+def pick_block(root):
+    """The block whose origin box contains DETAIL_CENTER."""
+    with open(os.path.join(root, "model", "partition_data.pkl"), "rb") as f:
+        records = pickle.load(f)
+    for r in records:
+        b = r.origin_box
+        if (b.xmin <= DETAIL_CENTER[0] <= b.xmax
+                and b.ymin <= DETAIL_CENTER[1] <= b.ymax):
+            return r.partition_id
+    raise RuntimeError("no block contains the detail center")
+
+
+def _train_block(root, block_id, out_name, iters, densify, capacity,
+                 test_iters, seed=0):
+    from pcp_tpu.cli import train as train_cli
+
+    block_dir = os.path.join(root, "model", "split_result", "visible",
+                             block_id, f"partition_{block_id}")
+    out_dir = os.path.join(block_dir, out_name)
+    ckpt_iters = [i for i in range(5000, iters, 5000)]
+    argv = [
+        "-s", block_dir, "-m", out_dir,
+        "--iterations", str(iters),
+        "--capacity", str(capacity),
+        "--max_per_tile", "0",
+        "--resolution", "1",
+        "--eval", "--llffhold", str(LLFFHOLD),
+        "--disable_viewer",
+        "--seed", str(seed),
+        "--test_iterations", *[str(i) for i in test_iters],
+        "--save_iterations", str(iters),
+        "--checkpoint_iterations", *[str(i) for i in ckpt_iters],
+    ]
+    if densify:
+        argv += ["--densify_from_iter", "1000",
+                 "--densify_until_iter", str(iters),
+                 "--densification_interval", "200",
+                 "--opacity_reset_interval", "3000"]
+    else:
+        argv += ["--densify_from_iter", str(10 * iters)]
+    # resume from the newest checkpoint if a prior run died mid-way
+    ckpts = sorted(glob.glob(os.path.join(out_dir, "chkpnt*.npz")),
+                   key=lambda p: int(
+                       os.path.basename(p)[len("chkpnt"):-len(".npz")]))
+    if ckpts:
+        argv += ["--start_checkpoint", ckpts[-1]]
+        print(f"resuming {out_name} from {ckpts[-1]}")
+    t0 = time.time()
+    train_cli.main(argv)
+    return out_dir, (time.time() - t0) / 60.0
+
+
+def hbm_stats():
+    try:
+        import jax
+
+        s = jax.local_devices()[0].memory_stats()
+        return {"bytes_in_use": int(s.get("bytes_in_use", -1)),
+                "peak_bytes_in_use": int(s.get("peak_bytes_in_use", -1)),
+                "bytes_limit": int(s.get("bytes_limit", -1))}
+    except Exception as e:  # axon plugin may not expose memory_stats
+        return {"error": str(e)}
+
+
+def phase_eval(root, block_id, variants, iters, out_json):
+    """Render held-out views from each variant's final PLY + metrics."""
+    import jax
+    import jax.numpy as jnp
+
+    from pcp_tpu.eval.metrics import evaluate_images
+    from pcp_tpu.io.ply import load_gaussian_ply
+    from pcp_tpu.models import gaussians as G
+    from pcp_tpu.ops.rasterize import rasterize
+    from pcp_tpu.scene import cameras as cam_mod
+    from pcp_tpu.scene import load_scene
+    from pcp_tpu.scene.dataset import split_train_test
+
+    lpips_npz = os.path.join(root, "lpips_synth.npz")
+    if not os.path.exists(lpips_npz):
+        from tools.make_lpips_weights import synthetic_bundle
+
+        np.savez(lpips_npz, **synthetic_bundle(0))
+
+    block_dir = os.path.join(root, "model", "split_result", "visible",
+                             block_id, f"partition_{block_id}")
+    scene = load_scene(block_dir, eval_split=True)
+    _, test_infos = split_train_test(scene.cameras, True, LLFFHOLD)
+    test_cams = [cam_mod.from_info(i, 1) for i in test_infos]
+    print(f"eval: {len(test_cams)} held-out views")
+
+    rows = []
+    for name, out_dir, wall_min in variants:
+        ply = os.path.join(out_dir, "point_cloud", f"iteration_{iters}",
+                           "point_cloud.ply")
+        g = load_gaussian_ply(ply)
+        n_alive = g["xyz"].shape[0]
+        sh = jnp.concatenate(
+            [jnp.asarray(g["f_dc"]), jnp.asarray(g["f_rest"])], axis=1)
+        scales_a = G.scaling_act(jnp.asarray(g["scaling"]))
+        op_a = G.opacity_act(jnp.asarray(g["opacity"]))[:, 0]
+        xyz_j = jnp.asarray(g["xyz"])
+        rot_j = jnp.asarray(g["rotation"])
+        render = jax.jit(lambda vm, intr: rasterize(
+            xyz_j, scales_a, rot_j, op_a, sh,
+            vm, intr, (W, H), jnp.zeros(3), 3, max_per_tile=2048)[0])
+        renders, gts = [], []
+        for cam in test_cams:
+            vm, intr = cam_mod.camera_device_arrays(cam)
+            renders.append(np.clip(np.asarray(render(vm, intr)), 0, 1))
+            gts.append(np.asarray(cam.gt_image))
+        res = evaluate_images(renders, gts, lpips_weights=lpips_npz)
+
+        # step-time / population curve from the training JSONL
+        curve = []
+        log_p = os.path.join(out_dir, "train_log.jsonl")
+        if os.path.exists(log_p):
+            for ln in open(log_p):
+                r = json.loads(ln)
+                if "total_points" in r and r["step"] % 1000 == 0:
+                    curve.append({
+                        "iter": r["step"],
+                        "alive": int(r["total_points"]),
+                        "step_ms": round(1000 * r.get("iter_time", 0), 1),
+                        "n_pairs": int(r.get("n_pairs", 0)),
+                    })
+        evals = {}
+        for p in glob.glob(os.path.join(out_dir, "eval_*.json")):
+            it = os.path.basename(p)[len("eval_"):-len(".json")]
+            evals[it] = json.load(open(p))
+        rows.append({
+            "variant": name,
+            "iterations": iters,
+            "alive_final": n_alive,
+            "max_alive": max([c["alive"] for c in curve], default=n_alive),
+            "PSNR": res["mean"]["PSNR"],
+            "SSIM": res["mean"]["SSIM"],
+            "LPIPS": res["mean"]["LPIPS"],
+            "lpips_weights": "synthetic (plumbing stand-in; values not "
+                             "comparable to published LPIPS)",
+            "wall_minutes": round(wall_min, 1),
+            "in_loop_evals": evals,
+            "population_curve": curve,
+        })
+        print(json.dumps({k: rows[-1][k] for k in
+                          ("variant", "alive_final", "PSNR", "SSIM",
+                           "LPIPS")}))
+
+    out = {
+        "workload": {
+            "scene": f"synthetic aerial {N_SFM} SfM pts over "
+                     f"{2*SLAB:.0f}x{2*SLAB:.0f}, GT from "
+                     f"{N_FINE + N_COARSE} true Gaussians, {W}x{H} "
+                     f"({W*H/1e6:.2f} MP)",
+            "block": block_id,
+            "schedule": f"{iters} iters, densify 1000..{iters} every 200, "
+                        f"opacity reset 3000, appearance ON, capacity "
+                        f"{CAPACITY} (control {CAPACITY_CONTROL}, no "
+                        f"densify)",
+            "reference_bar": "500k-pt block, 30k iters, ~1MP, densify "
+                             "toward multi-M Gaussians "
+                             "(shen_partition_utils.py:125, "
+                             "arguments/__init__.py:90, train.py:146)",
+        },
+        "hbm": hbm_stats(),
+        "runs": rows,
+    }
+    with open(out_json, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps({"written": out_json}))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--root", default="/tmp/scale_scene")
+    ap.add_argument("--phase", default="all",
+                    choices=["scene", "partition", "train", "control",
+                             "eval", "all"])
+    ap.add_argument("--iters", type=int, default=30_000)
+    ap.add_argument("--smoke", action="store_true")
+    ap.add_argument("--out", default=os.path.join(REPO, "QUALITY_r03.json"))
+    args = ap.parse_args()
+
+    iters = 1500 if args.smoke else args.iters
+    test_iters = ([500, 1500] if args.smoke
+                  else sorted({1000, 7000, 15000, iters}))
+    rng = np.random.default_rng(31)
+    root = args.root
+    phases = ([args.phase] if args.phase != "all"
+              else ["scene", "partition", "train", "control", "eval"])
+
+    if "scene" in phases and not os.path.isdir(
+            os.path.join(root, "sparse")):
+        os.makedirs(root, exist_ok=True)
+        phase_scene(root, rng)
+    if "partition" in phases and not os.path.exists(
+            os.path.join(root, "model", "partition_data.pkl")):
+        phase_partition(root)
+
+    block_id = pick_block(root)
+    print(f"detail block: {block_id}")
+    timings = {}
+    suffix = "_smoke" if args.smoke else ""
+    if "train" in phases:
+        out_dir, mins = _train_block(
+            root, block_id, f"output_densify{suffix}", iters, True,
+            CAPACITY, test_iters)
+        timings["densify"] = (out_dir, mins)
+        print(f"train done in {mins:.1f} min; hbm {hbm_stats()}")
+    if "control" in phases:
+        out_dir, mins = _train_block(
+            root, block_id, f"output_control{suffix}", iters, False,
+            CAPACITY_CONTROL, test_iters)
+        timings["control"] = (out_dir, mins)
+        print(f"control done in {mins:.1f} min")
+    if "eval" in phases:
+        block_dir = os.path.join(root, "model", "split_result", "visible",
+                                 block_id, f"partition_{block_id}")
+        variants = []
+        for name, key in [("densify", "densify"),
+                          ("no_densify_control", "control")]:
+            od = os.path.join(
+                block_dir,
+                f"output_{'densify' if key == 'densify' else 'control'}"
+                f"{suffix}")
+            mins = timings.get(key, (None, -1))[1]
+            if os.path.isdir(od):
+                variants.append((name, od, mins))
+        phase_eval(root, block_id, variants, iters,
+                   args.out if not args.smoke
+                   else os.path.join(root, "QUALITY_smoke.json"))
+
+
+if __name__ == "__main__":
+    main()
