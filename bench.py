@@ -3,13 +3,16 @@
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...} with
 honesty fields (`overflow`, `tile_saturated` must be false — the workload
 fits every static capacity, so NO compositing work is dropped), the
-scale-free `pairs_per_sec` secondary metric, and a per-stage `breakdown`.
+scale-free `pairs_per_sec` secondary metric, a per-stage `breakdown`, and
+a `scale_sweep` (500k / 1M live Gaussians at the same resolution — the
+reference's densified operating range, train.py:146 caps at 6M).
 
 Workload: the reference's hot path (train.py:94-157) — full differentiable
 render (preprocess -> binning -> tile compositing), appearance decoupling,
 0.8*L1 + 0.2*(1-SSIM), backward, Adam — on a realistic single block:
 ~100k live Gaussians (131k capacity), 800x600, trained-scene density
-(tools/bench_scene.py; ~0.8M tile pairs/frame).
+(tools/bench_scene.py; ~0.8M tile pairs/frame) as the canonical
+`vs_baseline` point.
 
 Baseline: the reference publishes no numbers (BASELINE.md); vanilla Inria
 3DGS trains 30k iterations in roughly 25 minutes on a 24 GB-class CUDA GPU
@@ -28,6 +31,78 @@ import numpy as np
 BASELINE_ITERS_PER_SEC = 20.0
 WARMUP = 3
 ITERS = 30
+SWEEP_POINTS = (500_000, 1_000_000)
+SWEEP_ITERS = 12
+
+
+def _run_point(n_points, warmup, iters, seed=0, max_per_tile=None):
+    """Build a bench scene at ``n_points`` live and time the full train
+    step. Returns (iters_per_sec, honesty dict)."""
+    import jax
+    import jax.numpy as jnp
+
+    from pcp_tpu.models import gaussians as G
+    from pcp_tpu.models.appearance import init_appearance
+    from pcp_tpu.train import optim
+    from pcp_tpu.train.config import OptimConfig
+    from pcp_tpu.train.step import TrainState, make_train_step
+    from tools import bench_scene as BS
+
+    rng = np.random.default_rng(seed)
+    params, alive = BS.make_scene(rng, n_points=n_points)
+    capacity = params["xyz"].shape[0]
+    viewmat, intrin = BS.camera()
+    app = init_appearance(jax.random.PRNGKey(0), (BS.W, BS.H))
+    state = TrainState(
+        params=params, app=app, opt_g=optim.init_adam(params),
+        opt_a=optim.init_adam(app), alive=alive,
+        stats=G.init_densify_stats(capacity),
+    )
+
+    if max_per_tile is None:
+        # size K from the actual per-tile loads (the production
+        # --max_per_tile 0 path) so every point is drop-free
+        from pcp_tpu.ops.binning import autosize_max_per_tile
+        from pcp_tpu.ops.projection import TILE, preprocess
+
+        prep = jax.jit(preprocess, static_argnums=(7, 8))(
+            params["xyz"], G.scaling_act(params["scaling"]),
+            params["rotation"],
+            G.opacity_act(params["opacity"])[:, 0] * alive.astype(np.float32),
+            G.sh_coeffs(params), viewmat, intrin, (BS.W, BS.H), 3)
+        max_per_tile = autosize_max_per_tile(
+            [(np.asarray(prep["rect"]), (BS.W + TILE - 1) // TILE,
+              (BS.H + TILE - 1) // TILE)], headroom=1.15)
+
+    ocfg = OptimConfig(capacity=capacity, max_per_tile=max_per_tile,
+                       pairs_per_gaussian=16)
+    step = make_train_step(ocfg, (BS.W, BS.H), 30.0, use_appearance=True)
+
+    gt = jnp.asarray(rng.uniform(0, 1, (BS.H, BS.W, 3)).astype(np.float32))
+    background = jnp.zeros(3)
+
+    metrics = None
+    for _ in range(warmup):
+        state, metrics = step(state, viewmat, intrin, gt, jnp.int32(0),
+                              background, 3)
+    jax.block_until_ready(state.params["xyz"])
+    honesty = {
+        "n_live": int(n_points),
+        "capacity": int(capacity),
+        "max_per_tile": int(max_per_tile),
+        "n_pairs": int(metrics["n_pairs"]),
+        "max_tile_load": int(metrics["max_tile_load"]),
+        "overflow": bool(metrics["overflow"]),
+        "tile_saturated": bool(metrics["tile_saturated"]),
+    }
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, metrics = step(state, viewmat, intrin, gt, jnp.int32(0),
+                              background, 3)
+    jax.block_until_ready(state.params["xyz"])
+    dt = time.perf_counter() - t0
+    return iters / dt, honesty
 
 
 def main() -> None:
@@ -50,60 +125,21 @@ def main() -> None:
             if ln.startswith("{"):
                 breakdown = json.loads(ln)
 
-    import jax
-    import jax.numpy as jnp
+    from tools.bench_scene import MAX_PER_TILE
 
-    from pcp_tpu.models import gaussians as G
-    from pcp_tpu.models.appearance import init_appearance
-    from pcp_tpu.train import optim
-    from pcp_tpu.train.config import OptimConfig
-    from pcp_tpu.train.step import TrainState, make_train_step
-    from tools.bench_scene import (
-        CAPACITY,
-        H,
-        MAX_PER_TILE,
-        W,
-        camera,
-        make_scene,
-    )
+    # canonical point: fixed K=512 (the committed round-over-round config)
+    iters_per_sec, honesty = _run_point(
+        100_000, WARMUP, ITERS, max_per_tile=MAX_PER_TILE)
 
-    rng = np.random.default_rng(0)
-    params, alive = make_scene(rng)
-    viewmat, intrin = camera()
-    app = init_appearance(jax.random.PRNGKey(0), (W, H))
-    state = TrainState(
-        params=params, app=app, opt_g=optim.init_adam(params),
-        opt_a=optim.init_adam(app), alive=alive,
-        stats=G.init_densify_stats(CAPACITY),
-    )
-
-    ocfg = OptimConfig(capacity=CAPACITY, max_per_tile=MAX_PER_TILE,
-                       pairs_per_gaussian=16)
-    step = make_train_step(ocfg, (W, H), 30.0, use_appearance=True)
-
-    gt = jnp.asarray(rng.uniform(0, 1, (H, W, 3)).astype(np.float32))
-    background = jnp.zeros(3)
-
-    metrics = None
-    for _ in range(WARMUP):
-        state, metrics = step(state, viewmat, intrin, gt, jnp.int32(0),
-                              background, 3)
-    jax.block_until_ready(state.params["xyz"])
-    honesty = {
-        "n_pairs": int(metrics["n_pairs"]),
-        "max_tile_load": int(metrics["max_tile_load"]),
-        "overflow": bool(metrics["overflow"]),
-        "tile_saturated": bool(metrics["tile_saturated"]),
-    }
-
-    t0 = time.perf_counter()
-    for _ in range(ITERS):
-        state, metrics = step(state, viewmat, intrin, gt, jnp.int32(0),
-                              background, 3)
-    jax.block_until_ready(state.params["xyz"])
-    dt = time.perf_counter() - t0
-
-    iters_per_sec = ITERS / dt
+    sweep = []
+    if os.environ.get("PCP_BENCH_SWEEP", "1") == "1":
+        for n in SWEEP_POINTS:
+            ips, h = _run_point(n, 2, SWEEP_ITERS)
+            sweep.append({
+                "iters_per_sec": round(ips, 3),
+                "pairs_per_sec": round(h["n_pairs"] * ips, 0),
+                **h,
+            })
 
     print(json.dumps({
         "metric": "train_iters_per_sec_100k_gauss_800x600",
@@ -111,7 +147,9 @@ def main() -> None:
         "unit": "iters/s",
         "vs_baseline": round(iters_per_sec / BASELINE_ITERS_PER_SEC, 3),
         "pairs_per_sec": round(honesty["n_pairs"] * iters_per_sec, 0),
-        **honesty,
+        **{k: honesty[k] for k in ("n_pairs", "max_tile_load", "overflow",
+                                   "tile_saturated")},
+        "scale_sweep": sweep,
         "breakdown": breakdown,
     }))
 

@@ -106,9 +106,29 @@ def main(argv=None) -> None:
     from pcp_tpu.scene import load_colmap_scene
 
     def mark(bid, **kw):
-        manifest[bid] = {**manifest.get(bid, {}), **kw, "ts": time.time()}
-        with open(manifest_path, "w") as f:
-            json.dump(manifest, f, indent=2)
+        # locked read-modify-write + atomic replace: under --distributed
+        # several processes update disjoint block entries of the same
+        # manifest (the shared filesystem is the coordination layer, like
+        # the reference's auto_train subprocess hand-off)
+        import fcntl
+
+        with open(manifest_path + ".lock", "w") as lk:
+            fcntl.flock(lk, fcntl.LOCK_EX)
+            if os.path.exists(manifest_path):
+                try:
+                    with open(manifest_path) as f:
+                        manifest.update({
+                            k: v for k, v in json.load(f).items()
+                            if k != bid
+                        })
+                except json.JSONDecodeError:
+                    pass  # torn file from a pre-lock writer; keep our view
+            manifest[bid] = {**manifest.get(bid, {}), **kw,
+                             "ts": time.time()}
+            tmp = f"{manifest_path}.{os.getpid()}.tmp"
+            with open(tmp, "w") as f:
+                json.dump(manifest, f, indent=2)
+            os.replace(tmp, manifest_path)
 
     def out_dir(block_dir):
         return os.path.join(block_dir, "output")

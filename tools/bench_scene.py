@@ -36,8 +36,15 @@ SIGMA_PX_MEDIAN = 4.0
 SIGMA_PX_LOGSTD = 0.6
 
 
-def make_scene(rng=None):
+def make_scene(rng=None, n_points: int = None, capacity: int = None):
     """Returns (params, alive) for models.gaussians plus the camera tuple.
+
+    ``n_points``/``capacity`` scale the scene beyond the canonical 100k
+    point (bench.py's scale sweep: 500k, 1M live). The pixel-space splat
+    size shrinks as sqrt(100k/n) — a scene densified to n Gaussians at the
+    same resolution carries proportionally smaller splats, which is what
+    converged 3DGS blocks look like; coverage (tile pairs) stays bounded
+    by the image, not by n.
 
     Import-light: jax-touching work stays inside so tools can parse args
     first."""
@@ -45,39 +52,46 @@ def make_scene(rng=None):
 
     from pcp_tpu.models import gaussians as G
 
+    n_points = n_points or N_POINTS
+    capacity = capacity or (
+        CAPACITY if n_points == N_POINTS
+        else 1 << max(17, int(np.ceil(np.log2(n_points * 1.31))))
+    )
+    sigma_med = SIGMA_PX_MEDIAN * float(np.sqrt(N_POINTS / n_points))
+
     rng = rng or np.random.default_rng(0)
-    depth = rng.uniform(8.0, 60.0, N_POINTS).astype(np.float32)
+    depth = rng.uniform(8.0, 60.0, n_points).astype(np.float32)
     # fill the frustum with ~20% spill outside (invisible, like real blocks)
     half_w = (W / 2 + 60) / FX * depth
     half_h = (H / 2 + 60) / FY * depth
     xyz = np.stack(
-        [rng.uniform(-1, 1, N_POINTS) * half_w,
-         rng.uniform(-1, 1, N_POINTS) * half_h,
+        [rng.uniform(-1, 1, n_points) * half_w,
+         rng.uniform(-1, 1, n_points) * half_h,
          depth], -1,
     ).astype(np.float32)
-    rgb = rng.uniform(0, 1, (N_POINTS, 3)).astype(np.float32)
+    rgb = rng.uniform(0, 1, (n_points, 3)).astype(np.float32)
 
-    gcfg = G.GaussianConfig(sh_degree=3, capacity=CAPACITY)
+    gcfg = G.GaussianConfig(sh_degree=3, capacity=capacity)
     params, alive = G.create_from_pcd(xyz, rgb, gcfg)
 
     # override kNN-init scales with trained-like pixel-space sizes
     sigma_px = np.exp(
-        rng.normal(np.log(SIGMA_PX_MEDIAN), SIGMA_PX_LOGSTD, N_POINTS)
+        rng.normal(np.log(sigma_med), SIGMA_PX_LOGSTD, n_points)
     ).astype(np.float32)
     sigma_world = sigma_px * depth / FX
-    scaling = np.full((CAPACITY, 3), -10.0, np.float32)
-    scaling[:N_POINTS] = np.log(sigma_world)[:, None] * np.ones(
+    scaling = np.full((capacity, 3), -10.0, np.float32)
+    scaling[:n_points] = np.log(sigma_world)[:, None] * np.ones(
         (1, 3), np.float32)
     # mild anisotropy like trained splats
-    scaling[:N_POINTS] += rng.uniform(-0.35, 0.35,
-                                      (N_POINTS, 3)).astype(np.float32)
+    scaling[:n_points] += rng.uniform(-0.35, 0.35,
+                                      (n_points, 3)).astype(np.float32)
     params = dict(params)
     params["scaling"] = jnp.asarray(scaling)
 
     # converged-like opacity mix (create_from_pcd inits all at 0.1)
-    op = rng.uniform(0.1, 0.8, N_POINTS).astype(np.float32)
-    opacity = np.full((CAPACITY, 1), -10.0, np.float32)
-    opacity[:N_POINTS, 0] = np.log(op / (1.0 - op))
+    op = rng.uniform(0.1, 0.8, n_points).astype(np.float32)
+    opacity = np.full((capacity, 1), -10.0, np.float32)
+    opacity[:n_points, 0] = np.log(op / (1.0 - op))
     params["opacity"] = jnp.asarray(opacity)
     return params, alive
 

@@ -223,8 +223,9 @@ def _train_block(root, block_id, out_name, iters, densify, capacity,
         "--seed", str(seed),
         "--test_iterations", *[str(i) for i in test_iters],
         "--save_iterations", str(iters),
-        "--checkpoint_iterations", *[str(i) for i in ckpt_iters],
     ]
+    if ckpt_iters:
+        argv += ["--checkpoint_iterations", *[str(i) for i in ckpt_iters]]
     if densify:
         argv += ["--densify_from_iter", "1000",
                  "--densify_until_iter", str(iters),
@@ -390,6 +391,8 @@ def main():
             os.path.join(root, "model", "partition_data.pkl")):
         phase_partition(root)
 
+    if not any(ph in phases for ph in ("train", "control", "eval")):
+        return
     block_id = pick_block(root)
     print(f"detail block: {block_id}")
     timings = {}
