@@ -59,10 +59,11 @@ def _run_point(n_points, warmup, iters, seed=0, max_per_tile=None):
         stats=G.init_densify_stats(capacity),
     )
 
+    k_lo = t_hi = 0
     if max_per_tile is None:
-        # size K from the actual per-tile loads (the production
-        # --max_per_tile 0 path) so every point is drop-free
-        from pcp_tpu.ops.binning import autosize_max_per_tile
+        # size the two-level tables from the actual per-tile loads (the
+        # production --max_per_tile 0 path) so every point is drop-free
+        from pcp_tpu.ops.binning import autosize_tile_classes
         from pcp_tpu.ops.projection import TILE, preprocess
 
         prep = jax.jit(preprocess, static_argnums=(7, 8))(
@@ -70,11 +71,14 @@ def _run_point(n_points, warmup, iters, seed=0, max_per_tile=None):
             params["rotation"],
             G.opacity_act(params["opacity"])[:, 0] * alive.astype(np.float32),
             G.sh_coeffs(params), viewmat, intrin, (BS.W, BS.H), 3)
-        max_per_tile = autosize_max_per_tile(
+        k_lo, max_per_tile, t_hi = autosize_tile_classes(
             [(np.asarray(prep["rect"]), (BS.W + TILE - 1) // TILE,
               (BS.H + TILE - 1) // TILE)], headroom=1.15)
+        if t_hi == 0:
+            k_lo = 0
 
     ocfg = OptimConfig(capacity=capacity, max_per_tile=max_per_tile,
+                       tile_k_lo=k_lo, tile_hi_cap=t_hi,
                        pairs_per_gaussian=16)
     step = make_train_step(ocfg, (BS.W, BS.H), 30.0, use_appearance=True)
 
@@ -90,6 +94,8 @@ def _run_point(n_points, warmup, iters, seed=0, max_per_tile=None):
         "n_live": int(n_points),
         "capacity": int(capacity),
         "max_per_tile": int(max_per_tile),
+        "tile_k_lo": int(k_lo),
+        "tile_hi_cap": int(t_hi),
         "n_pairs": int(metrics["n_pairs"]),
         "max_tile_load": int(metrics["max_tile_load"]),
         "overflow": bool(metrics["overflow"]),

@@ -21,10 +21,12 @@ from pcp_tpu.train.step import render_gaussians
 
 @functools.partial(
     jax.jit,
-    static_argnames=("w", "h", "sh_degree", "max_per_tile", "max_pairs"),
+    static_argnames=("w", "h", "sh_degree", "max_per_tile", "max_pairs",
+                     "tile_k_lo", "tile_hi_cap"),
 )
 def _render_batch(params, alive, background, viewmats, intrins, *, w, h,
-                  sh_degree, max_per_tile, max_pairs):
+                  sh_degree, max_per_tile, max_pairs, tile_k_lo=0,
+                  tile_hi_cap=0):
     """Module-level jitted batch render: params/alive are ARGUMENTS, not
     closure constants, so repeated eval calls over a run reuse ONE compiled
     program per (image size, batch) instead of retracing each invocation
@@ -34,6 +36,7 @@ def _render_batch(params, alive, background, viewmats, intrins, *, w, h,
         img, _ = render_gaussians(
             params, alive, viewmat, intrin, (w, h), background,
             sh_degree, max_per_tile=max_per_tile, max_pairs=max_pairs,
+            tile_k_lo=tile_k_lo, tile_hi_cap=tile_hi_cap,
         )
         return jnp.clip(img, 0.0, 1.0)
 
@@ -42,10 +45,12 @@ def _render_batch(params, alive, background, viewmats, intrins, *, w, h,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("w", "h", "sh_degree", "max_per_tile", "max_pairs"),
+    static_argnames=("w", "h", "sh_degree", "max_per_tile", "max_pairs",
+                     "tile_k_lo", "tile_hi_cap"),
 )
 def _render_metrics_batch(params, alive, background, viewmats, intrins, gts,
-                          *, w, h, sh_degree, max_per_tile, max_pairs):
+                          *, w, h, sh_degree, max_per_tile, max_pairs,
+                          tile_k_lo=0, tile_hi_cap=0):
     """Batched render + on-device L1/PSNR reduction: only two scalars per
     view cross the device boundary (training_report, train.py:188-243,
     evaluates hundreds of test views — per-view host math does not scale)."""
@@ -53,7 +58,8 @@ def _render_metrics_batch(params, alive, background, viewmats, intrins, gts,
 
     imgs = _render_batch(params, alive, background, viewmats, intrins,
                          w=w, h=h, sh_degree=sh_degree,
-                         max_per_tile=max_per_tile, max_pairs=max_pairs)
+                         max_per_tile=max_per_tile, max_pairs=max_pairs,
+                         tile_k_lo=tile_k_lo, tile_hi_cap=tile_hi_cap)
     l1 = jnp.mean(jnp.abs(imgs - gts), axis=(1, 2, 3))
     return l1, psnr(imgs, gts)
 
@@ -67,6 +73,8 @@ def render_views(
     *,
     max_per_tile: int = 1024,
     pairs_per_gaussian: int = 16,
+    tile_k_lo: int = 0,
+    tile_hi_cap: int = 0,
     batch: int = 8,
 ) -> List[np.ndarray]:
     """Render all cameras (one image size); returns a list of (H, W, 3)."""
@@ -80,6 +88,7 @@ def render_views(
         _render_batch, params, alive, background, w=w, h=h,
         sh_degree=sh_degree, max_per_tile=max_per_tile,
         max_pairs=pairs_per_gaussian * n,
+        tile_k_lo=tile_k_lo, tile_hi_cap=tile_hi_cap,
     )
 
     out: List[np.ndarray] = []
@@ -113,6 +122,8 @@ def eval_views(
     *,
     max_per_tile: int = 1024,
     pairs_per_gaussian: int = 16,
+    tile_k_lo: int = 0,
+    tile_hi_cap: int = 0,
     batch: int = 8,
 ):
     """Batched L1/PSNR over cameras of ONE image size; metrics reduce on
@@ -135,6 +146,7 @@ def eval_views(
             params, alive, background, viewmats, intrins, gts,
             w=w, h=h, sh_degree=sh_degree, max_per_tile=max_per_tile,
             max_pairs=pairs_per_gaussian * n,
+            tile_k_lo=tile_k_lo, tile_hi_cap=tile_hi_cap,
         )
         l1s.extend(np.asarray(l1)[: len(group)].tolist())
         psnrs.extend(np.asarray(ps)[: len(group)].tolist())

@@ -325,6 +325,62 @@ def autosize_max_per_tile(rects_and_grids, chunk=None, headroom=1.6,
     return int(min(k, cap))
 
 
+def autosize_tile_classes(rects_and_grids, chunk=None, headroom=1.6,
+                          floor=128, cap=4096):
+    """Pick the two-level table geometry (k_lo, k_hi, t_hi) from measured
+    per-tile loads on sample views (host, one-shot).
+
+    k_hi follows autosize_max_per_tile (headroom over the max observed
+    load). k_lo is chosen over CH multiples to minimize the total slot
+    count num_tiles*k_lo + t_hi(k_lo)*k_hi, where t_hi(k_lo) is sized so
+    every tile whose load exceeds k_lo/headroom (loads drift as densify
+    reshapes the scene) fits with 2x margin. Returns t_hi == 0 (single
+    table) when the split would not shrink the slot count by >= 25% —
+    e.g. near-uniform load distributions."""
+    import numpy as np
+
+    from pcp_tpu.ops import pallas_composite as pc
+
+    if chunk is None:
+        chunk = pc.CH
+    tb = pc.TB
+    all_loads = []
+    num_tiles = 0
+    for rect, tx, ty in rects_and_grids:
+        r = np.asarray(rect)
+        r = r[(r[:, 2] > r[:, 0]) & (r[:, 3] > r[:, 1])]
+        num_tiles = max(num_tiles, tx * ty)
+        if r.size == 0:
+            continue
+        d = np.zeros((ty + 1, tx + 1), np.int64)
+        np.add.at(d, (r[:, 1], r[:, 0]), 1)
+        np.add.at(d, (r[:, 1], np.minimum(r[:, 2], tx)), -1)
+        np.add.at(d, (np.minimum(r[:, 3], ty), r[:, 0]), -1)
+        np.add.at(d, (np.minimum(r[:, 3], ty), np.minimum(r[:, 2], tx)), 1)
+        all_loads.append(d.cumsum(0).cumsum(1)[:ty, :tx].reshape(-1))
+    if not all_loads:
+        return floor, floor, 0
+    loads = np.stack(all_loads)                       # (views, tiles)
+    maxload = int(loads.max())
+    k_hi = max(floor, int(-(-headroom * maxload // chunk)) * chunk)
+    k_hi = int(min(k_hi, cap))
+
+    best = (num_tiles * k_hi, k_hi, 0)                # single-table cost
+    single_cost = best[0]
+    for k_lo in range(chunk, k_hi, chunk):
+        # worst-case over views of tiles that could outgrow k_lo
+        n_over = int((loads > k_lo / headroom).sum(axis=1).max())
+        t_hi = int(-(-2 * max(n_over, 1) // tb)) * tb
+        if t_hi >= num_tiles // 2:
+            continue
+        cost = num_tiles * k_lo + t_hi * k_hi
+        if cost < best[0]:
+            best = (cost, k_lo, t_hi)
+    if best[0] > 0.75 * single_cost:
+        return k_hi, k_hi, 0
+    return best[1], k_hi, best[2]
+
+
 def _tile_ranges(s_tile, num_tiles):
     """Per-tile [start, end) ranges in a SORTED tile-id array
     (identifyTileRanges analog, rasterizer_impl.cu:116-138).
@@ -366,13 +422,11 @@ def _compact_classes(masks_caps, n):
     return out
 
 
-def bin_gaussians_v2(
-    rect: jnp.ndarray,
-    depths: jnp.ndarray,
-    tiles_x: int,
-    tiles_y: int,
-    max_per_tile: int,
-) -> TileBins:
+def _expand_sort_v2(rect, depths, tiles_x, tiles_y):
+    """The v2 class-table expansion + [tile|depth] sort, shared by the
+    single-table and two-level (split) window builders.
+
+    Returns (s_pay sorted Gaussian ids, starts, load, total, drops)."""
     n = rect.shape[0]
     num_tiles = tiles_x * tiles_y
     tile_bits = _ceil_log2(num_tiles + 1)
@@ -436,6 +490,19 @@ def bin_gaussians_v2(
 
     starts, ends = _tile_ranges(s_tile, num_tiles)
     load = ends - starts
+    return s_pay, starts, load, total, drop_b + drop_c + drop_d
+
+
+def bin_gaussians_v2(
+    rect: jnp.ndarray,
+    depths: jnp.ndarray,
+    tiles_x: int,
+    tiles_y: int,
+    max_per_tile: int,
+) -> TileBins:
+    num_tiles = tiles_x * tiles_y
+    s_pay, starts, load, total, dropped = _expand_sort_v2(
+        rect, depths, tiles_x, tiles_y)
     max_tile_load = load.max() if num_tiles > 0 else jnp.int32(0)
     tile_count = jnp.minimum(load, max_per_tile)
 
@@ -462,5 +529,104 @@ def bin_gaussians_v2(
         tile_count,
         total.astype(jnp.int32),
         max_tile_load.astype(jnp.int32),
-        (drop_b + drop_c + drop_d).astype(jnp.int32),
+        dropped.astype(jnp.int32),
+    )
+
+
+class TileBinsSplit(NamedTuple):
+    """Two-level per-tile Gaussian tables (the load-skew answer).
+
+    A single (num_tiles, K) table must size K for the DENSEST tile, and
+    every composite-path cost (attribute gather, kernel DMA, gradient
+    table, segment-sum) scales with num_tiles*K even though compute skips
+    dead slots — at the reference operating point (1280x800, K=3712 vs
+    mean load ~800) that was 1.19 s of a 1.48 s step. Here most tiles
+    live in a (num_tiles, k_lo) table and the few heavy tiles' FULL lists
+    live in a compact (t_hi, k_hi) table addressed by ``hi_ids`` — total
+    slots track the load distribution, not its max. The CUDA reference
+    needs no analog: its per-tile ranges are naturally variable-length
+    (rasterizer_impl.cu:116-138); this is the static-shape equivalent.
+    """
+    tile_gauss: jnp.ndarray   # (num_tiles, k_lo) int32 ids; -1 pad
+    hi_ids: jnp.ndarray       # (t_hi,) int32 tile ids of hi-class rows; -1 pad
+    hi_gauss: jnp.ndarray     # (t_hi, k_hi) int32 ids; -1 pad
+    tile_count: jnp.ndarray   # (num_tiles,) live entries (pre-split loads)
+    n_pairs: jnp.ndarray      # () int32 total intersections
+    max_tile_load: jnp.ndarray  # () int32 max pre-clamp per-tile occupancy
+    n_dropped: jnp.ndarray    # () int32 pairs lost to static caps
+    n_hi: jnp.ndarray         # () int32 tiles whose load exceeded k_lo
+
+
+def bin_gaussians_split(
+    rect: jnp.ndarray,
+    depths: jnp.ndarray,
+    tiles_x: int,
+    tiles_y: int,
+    k_lo: int,
+    k_hi: int,
+    t_hi: int,
+) -> TileBinsSplit:
+    """Two-level binning: tiles with load <= k_lo fill the dense lo table;
+    heavier tiles move WHOLLY (up to k_hi, nearest-k policy beyond) into
+    the compact hi table. Hi-class tiles beyond the ``t_hi`` capacity stay
+    in the lo table truncated to its k_lo (nearest-k), counted in
+    ``n_dropped`` — degradation, never corruption."""
+    num_tiles = tiles_x * tiles_y
+    s_pay, starts, load, total, dropped = _expand_sort_v2(
+        rect, depths, tiles_x, tiles_y)
+    max_tile_load = load.max() if num_tiles > 0 else jnp.int32(0)
+
+    is_hi = load > k_lo
+    rank = jnp.cumsum(is_hi.astype(jnp.int32)) - 1
+    placed = is_hi & (rank < t_hi)
+    n_hi = jnp.sum(is_hi.astype(jnp.int32))
+    hi_ids = (
+        jnp.full((t_hi,), -1, jnp.int32)
+        .at[jnp.where(placed, rank, t_hi)]
+        .set(jnp.arange(num_tiles, dtype=jnp.int32), mode="drop")
+    )
+
+    # k_hi sentinel rows keep every window slice in-bounds (and give pad
+    # hi rows, whose start points at the sentinel zone, all -1s)
+    s_pay_pad = jnp.concatenate(
+        [s_pay, jnp.full((max(k_hi, k_lo),), -1, s_pay.dtype)])
+
+    k_idx = jnp.arange(k_lo, dtype=jnp.int32)[None, :]
+    lo_cnt = jnp.where(placed, 0, jnp.minimum(load, k_lo))
+    if WINDOW_MODE == "gather":
+        pos = starts[:, None] + k_idx
+        lo_tbl = s_pay_pad[jnp.minimum(pos, s_pay_pad.shape[0] - 1)]
+    else:
+        lo_tbl = jax.vmap(
+            lambda s: jax.lax.dynamic_slice(s_pay_pad, (s,), (k_lo,))
+        )(starts)
+    tile_gauss = jnp.where(k_idx < lo_cnt[:, None], lo_tbl, -1)
+
+    starts_hi = jnp.where(hi_ids >= 0, starts[jnp.maximum(hi_ids, 0)],
+                          s_pay.shape[0])
+    hi_cnt = jnp.where(hi_ids >= 0,
+                       jnp.minimum(load[jnp.maximum(hi_ids, 0)], k_hi), 0)
+    kh_idx = jnp.arange(k_hi, dtype=jnp.int32)[None, :]
+    if WINDOW_MODE == "gather":
+        pos_h = starts_hi[:, None] + kh_idx
+        hi_tbl = s_pay_pad[jnp.minimum(pos_h, s_pay_pad.shape[0] - 1)]
+    else:
+        hi_tbl = jax.vmap(
+            lambda s: jax.lax.dynamic_slice(s_pay_pad, (s,), (k_hi,))
+        )(starts_hi)
+    hi_gauss = jnp.where(kh_idx < hi_cnt[:, None], hi_tbl, -1)
+
+    # unplaced hi tiles fall back to the lo table at k_lo: count the tail
+    trunc_unplaced = jnp.sum(
+        jnp.where(is_hi & ~placed, load - k_lo, 0))
+
+    return TileBinsSplit(
+        tile_gauss,
+        hi_ids,
+        hi_gauss,
+        jnp.minimum(load, jnp.where(is_hi, k_hi, k_lo)),
+        total.astype(jnp.int32),
+        max_tile_load.astype(jnp.int32),
+        (dropped + trunc_unplaced).astype(jnp.int32),
+        n_hi,
     )

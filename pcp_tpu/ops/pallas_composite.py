@@ -223,9 +223,14 @@ def _shift_right_one(x, fill):
     return jnp.where(lane >= 1, pltpu.roll(x, 1, axis=2), fill)
 
 
-def _pix_coords(i, tiles_x):
-    """Pixel centers for the TB tiles of block i: (TB, P)."""
-    rows = i * TB + jax.lax.broadcasted_iota(jnp.int32, (TB, P), 0)
+def _block_rows(i):
+    """Default tile ids for block i: (TB, 1) int32 = i*TB + [0..TB)."""
+    return i * TB + jax.lax.broadcasted_iota(jnp.int32, (TB, 1), 0)
+
+
+def _pix_coords(rows01, tiles_x):
+    """Pixel centers for the TB tiles with ids ``rows01`` (TB, 1): (TB, P)."""
+    rows = jnp.broadcast_to(rows01, (TB, P))
     lane = jax.lax.broadcasted_iota(jnp.int32, (TB, P), 1)
     x0 = (rows % tiles_x) * TILE
     y0 = (rows // tiles_x) * TILE
@@ -234,9 +239,9 @@ def _pix_coords(i, tiles_x):
     return px, py
 
 
-def _pix_coords_slice(i, p_idx, tiles_x):
-    """Pixel centers for tile block i, pixel slice p_idx: (TB, PP)."""
-    rows = i * TB + jax.lax.broadcasted_iota(jnp.int32, (TB, PP), 0)
+def _pix_coords_slice(rows01, p_idx, tiles_x):
+    """Pixel centers for tile ids ``rows01``, pixel slice p_idx: (TB, PP)."""
+    rows = jnp.broadcast_to(rows01, (TB, PP))
     lane = p_idx * PP + jax.lax.broadcasted_iota(jnp.int32, (TB, PP), 1)
     x0 = (rows % tiles_x) * TILE
     y0 = (rows // tiles_x) * TILE
@@ -274,12 +279,12 @@ def _local_alpha(mx, my, ca, cb, cc, op, valid, px, py):
 USE_MXU_POWER = _os.environ.get("PCP_MXU_POWER", "1") == "1"
 
 
-def _local_alpha_mxu(at, i, tiles_x, p0, np_):
+def _local_alpha_mxu(at, rows01, tiles_x, p0, np_):
     """Per-slot alpha via the MXU pixel-basis matmul (no dx/dy outputs).
 
-    at (NA, TB, CH); returns alpha (TB, np_, CH) for the pixel slice
-    [p0, p0+np_) of the block's tiles."""
-    rows = i * TB + jax.lax.broadcasted_iota(jnp.int32, (TB, CH), 0)
+    at (NA, TB, CH), rows01 (TB, 1) tile ids; returns alpha (TB, np_, CH)
+    for the pixel slice [p0, p0+np_) of the block's tiles."""
+    rows = jnp.broadcast_to(rows01, (TB, CH))
     tx0 = ((rows % tiles_x) * TILE).astype(jnp.float32)
     ty0 = ((rows // tiles_x) * TILE).astype(jnp.float32)
     mxl = _row(at, _I_MX) - tx0
@@ -352,7 +357,7 @@ def _gc_row(gc, j):
 
 def _fwd_kernel(att, color_ref, tfin_ref, ncontrib_ref,
                 t_scr, d_scr, nc_scr, scan_scr, *, tiles_x):
-    i = pl.program_id(0)
+    rows01 = _block_rows(pl.program_id(0))
     c_idx = pl.program_id(1)
 
     @pl.when(c_idx == 0)
@@ -380,7 +385,7 @@ def _fwd_kernel(att, color_ref, tfin_ref, ncontrib_ref,
         @pl.when(chunk_live)
         def _compute_live():
             _fwd_chunk_body(a, color_ref, t_scr, d_scr, nc_scr, scan_scr,
-                            i, c_idx, tiles_x)
+                            rows01, c_idx, tiles_x)
 
     @pl.when(c_idx == pl.num_programs(1) - 1)
     def _():
@@ -388,13 +393,13 @@ def _fwd_kernel(att, color_ref, tfin_ref, ncontrib_ref,
         ncontrib_ref[:] = nc_scr[:]
 
 
-def _fwd_chunk_body(a, color_ref, t_scr, d_scr, nc_scr, scan_scr, i, c_idx,
-                    tiles_x):
+def _fwd_chunk_body(a, color_ref, t_scr, d_scr, nc_scr, scan_scr, rows01,
+                    c_idx, tiles_x):
     if True:  # body lifted verbatim out of _fwd_kernel's nested pl.when
         if USE_MXU_POWER:
-            alpha = _local_alpha_mxu(a, i, tiles_x, 0, P)
+            alpha = _local_alpha_mxu(a, rows01, tiles_x, 0, P)
         else:
-            px, py = _pix_coords(i, tiles_x)
+            px, py = _pix_coords(rows01, tiles_x)
             alpha, _, _ = _local_alpha(
                 _row(a, _I_MX), _row(a, _I_MY), _row(a, _I_CA),
                 _row(a, _I_CB), _row(a, _I_CC), _row(a, _I_OP),
@@ -451,7 +456,7 @@ def _bwd_kernel(att, gcolor, gtfin, tfin, ncontrib,
     innermost dim so the revisited datt accumulator block is written in
     consecutive steps; the (T, S) carries live in full-width scratch and are
     indexed per pixel slice."""
-    i = pl.program_id(0)
+    rows01 = _block_rows(pl.program_id(0))
     c_rev = pl.program_id(1)
     p_idx = pl.program_id(2)
     n_chunks = pl.num_programs(1)
@@ -476,18 +481,18 @@ def _bwd_kernel(att, gcolor, gtfin, tfin, ncontrib,
     @pl.when(chunk_live)
     def _compute():
         _bwd_chunk_body(att, gcolor, gtfin, tfin, ncontrib, datt, t_scr,
-                        s_scr, scan1, scan2, i, c_idx, p_idx, tiles_x)
+                        s_scr, scan1, scan2, rows01, c_idx, p_idx, tiles_x)
 
 
 def _bwd_chunk_body(att, gcolor, gtfin, tfin, ncontrib, datt, t_scr, s_scr,
-                    scan1, scan2, i, c_idx, p_idx, tiles_x):
+                    scan1, scan2, rows01, c_idx, p_idx, tiles_x):
     psl = pl.ds(p_idx * PP, PP)
     at = att[:]
     if USE_MXU_POWER and USE_BWD_MOMENTS:
-        alpha = _local_alpha_mxu(at, i, tiles_x, p_idx * PP, PP)
+        alpha = _local_alpha_mxu(at, rows01, tiles_x, p_idx * PP, PP)
         dx = dy = None  # only the non-moments plane path needs them
     else:
-        px, py = _pix_coords_slice(i, p_idx, tiles_x)
+        px, py = _pix_coords_slice(rows01, p_idx, tiles_x)
         alpha, dx, dy = _local_alpha(
             _row(at, _I_MX), _row(at, _I_MY), _row(at, _I_CA),
             _row(at, _I_CB), _row(at, _I_CC), _row(at, _I_OP),
@@ -572,7 +577,7 @@ def _bwd_chunk_body(att, gcolor, gtfin, tfin, ncontrib, datt, t_scr, s_scr,
         mxy = _row(M, 4)
         myy = _row(M, 5)
         # Gaussian means in the same local frame: mxl = mx - tile_x0.
-        rows = i * TB + jax.lax.broadcasted_iota(jnp.int32, (TB, CH), 0)
+        rows = jnp.broadcast_to(rows01, (TB, CH))
         tx0 = ((rows % tiles_x) * TILE).astype(jnp.float32)
         ty0 = ((rows // tiles_x) * TILE).astype(jnp.float32)
         mxl = _row(at, _I_MX) - tx0
@@ -614,6 +619,174 @@ def _bwd_chunk_body(att, gcolor, gtfin, tfin, ncontrib, datt, t_scr, s_scr,
     s_scr[:, psl] = s_scr[:, psl] + first(csuf)
 
 
+def _fwd_kernel_tid(tids, att, color_ref, tfin_ref, ncontrib_ref,
+                    t_scr, d_scr, nc_scr, scan_scr, *, tiles_x):
+    """Forward kernel whose tile ids come from an input ref (TB, 1) instead
+    of the grid index — the hi-class table of the two-level composite holds
+    an arbitrary subset of tiles (see rasterize.composite_fused's split
+    path). Pad rows carry all-zero attributes (op == 0), so whatever tile
+    id they alias composites to exactly nothing."""
+    rows01 = tids[:]
+    c_idx = pl.program_id(1)
+
+    @pl.when(c_idx == 0)
+    def _():
+        t_scr[:] = jnp.ones_like(t_scr)
+        d_scr[:] = jnp.zeros_like(d_scr)
+        nc_scr[:] = jnp.zeros_like(nc_scr)
+        color_ref[:] = jnp.zeros_like(color_ref)
+
+    @pl.when(jnp.min(d_scr[:]) < 0.5)
+    def _compute():
+        a = att[:]
+        chunk_live = jnp.max(_row(a, _I_VALID)) > 0.0
+
+        @pl.when(chunk_live)
+        def _compute_live():
+            _fwd_chunk_body(a, color_ref, t_scr, d_scr, nc_scr, scan_scr,
+                            rows01, c_idx, tiles_x)
+
+    @pl.when(c_idx == pl.num_programs(1) - 1)
+    def _():
+        tfin_ref[:] = t_scr[:]
+        ncontrib_ref[:] = nc_scr[:]
+
+
+def _bwd_kernel_tid(tids, att, gcolor, gtfin, tfin, ncontrib,
+                    datt, t_scr, s_scr, scan1, scan2, *, tiles_x):
+    """Backward kernel with input-ref tile ids (see _fwd_kernel_tid)."""
+    rows01 = tids[:]
+    c_rev = pl.program_id(1)
+    p_idx = pl.program_id(2)
+    n_chunks = pl.num_programs(1)
+    c_idx = n_chunks - 1 - c_rev
+    psl = pl.ds(p_idx * PP, PP)
+
+    @pl.when(c_rev == 0)
+    def _():
+        t_scr[:, psl] = tfin[:]
+        s_scr[:, psl] = tfin[:] * gtfin[:]
+
+    @pl.when(p_idx == 0)
+    def _():
+        datt[:] = jnp.zeros_like(datt)
+
+    chunk_live = jnp.float32(c_idx * CH) < jnp.max(ncontrib[:])
+
+    @pl.when(chunk_live)
+    def _compute():
+        _bwd_chunk_body(att, gcolor, gtfin, tfin, ncontrib, datt, t_scr,
+                        s_scr, scan1, scan2, rows01, c_idx, p_idx, tiles_x)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def composite_tiles_tid(att, tids, tiles_x):
+    """composite_tiles with EXPLICIT per-row tile ids (nt, 1) int32.
+
+    Rows map to arbitrary tiles of the (tiles_x, ...) grid — the hi-class
+    table of the two-level composite (rasterize.composite_fused). Pad rows
+    (no tile) must carry zeroed attributes; their tile id only selects the
+    pixel frame they inertly composite nothing into.
+    """
+    color, tfin, _ = _fwd_tid(att, tids, tiles_x)
+    return color, tfin
+
+
+def _fwd_tid(att, tids, tiles_x):
+    na, nt, k = att.shape
+    n_chunks = k // CH
+    att_map, per_tile2, per_tile3 = _specs(n_chunks)
+    v = pltpu.VMEM
+    color, tfin, ncontrib = pl.pallas_call(
+        functools.partial(_fwd_kernel_tid, tiles_x=tiles_x),
+        grid=(nt // TB, n_chunks),
+        in_specs=[
+            pl.BlockSpec((TB, 1), lambda i, c: (i, 0), memory_space=v),
+            pl.BlockSpec((NA, TB, CH), att_map, memory_space=v),
+        ],
+        out_specs=(
+            pl.BlockSpec((TB, 3, P), per_tile3, memory_space=v),
+            pl.BlockSpec((TB, P), per_tile2, memory_space=v),
+            pl.BlockSpec((TB, P), per_tile2, memory_space=v),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((nt, 3, P), jnp.float32),
+            jax.ShapeDtypeStruct((nt, P), jnp.float32),
+            jax.ShapeDtypeStruct((nt, P), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((TB, P), jnp.float32),
+            pltpu.VMEM((TB, P), jnp.float32),
+            pltpu.VMEM((TB, P), jnp.float32),
+            pltpu.VMEM((TB, P, CH), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        interpret=INTERPRET,
+    )(tids, att)
+    return color, tfin, ncontrib
+
+
+def _composite_tid_fwd(att, tids, tiles_x):
+    color, tfin, ncontrib = _fwd_tid(att, tids, tiles_x)
+    return (color, tfin), (att, tids, tfin, ncontrib)
+
+
+def _composite_tid_bwd(tiles_x, res, cot):
+    import numpy as np
+
+    att, tids, tfin, ncontrib = res
+    gcolor, gtfin = cot
+    na, nt, k = att.shape
+    n_chunks = k // CH
+    v = pltpu.VMEM
+
+    def tid_map(i, c, p):
+        return (i, 0)
+
+    def att_map(i, c, p):
+        return (0, i, n_chunks - 1 - c)
+
+    def pix2(i, c, p):
+        return (i, p)
+
+    def pix3(i, c, p):
+        return (i, 0, p)
+
+    datt = pl.pallas_call(
+        functools.partial(_bwd_kernel_tid, tiles_x=tiles_x),
+        grid=(nt // TB, n_chunks, P // PP),
+        in_specs=[
+            pl.BlockSpec((TB, 1), tid_map, memory_space=v),
+            pl.BlockSpec((NA, TB, CH), att_map, memory_space=v),
+            pl.BlockSpec((TB, 3, PP), pix3, memory_space=v),
+            pl.BlockSpec((TB, PP), pix2, memory_space=v),
+            pl.BlockSpec((TB, PP), pix2, memory_space=v),
+            pl.BlockSpec((TB, PP), pix2, memory_space=v),
+        ],
+        out_specs=pl.BlockSpec((NA, TB, CH), att_map, memory_space=v),
+        out_shape=jax.ShapeDtypeStruct((NA, nt, k), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((TB, P), jnp.float32),
+            pltpu.VMEM((TB, P), jnp.float32),
+            pltpu.VMEM((TB, PP, CH), jnp.float32),
+            pltpu.VMEM((TB, PP, CH), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        interpret=INTERPRET,
+    )(tids, att, gcolor, gtfin, tfin, ncontrib)
+    dtids = np.zeros(tids.shape, dtype=jax.dtypes.float0)
+    return (datt, dtids)
+
+
+composite_tiles_tid.defvjp(_composite_tid_fwd, _composite_tid_bwd)
+
+
 # One grid step per tile block with an UNROLLED internal chunk loop (the
 # whole (TB, NA, K) attribute block VMEM-resident) instead of a chunk grid
 # axis: 4x fewer grid steps — per-step fixed overhead was a large slice of
@@ -623,8 +796,8 @@ FUSED_CHUNKS = _os.environ.get("PCP_FUSED_CHUNKS", "0") == "1"
 
 def _fwd_kernel_fused(att, color_ref, tfin_ref, ncontrib_ref,
                       t_scr, d_scr, nc_scr, *, tiles_x, n_chunks):
-    i = pl.program_id(0)
-    px, py = _pix_coords(i, tiles_x)
+    rows01 = _block_rows(pl.program_id(0))
+    px, py = _pix_coords(rows01, tiles_x)
     t_scr[:] = jnp.ones_like(t_scr)
     d_scr[:] = jnp.zeros_like(d_scr)
     nc_scr[:] = jnp.zeros_like(nc_scr)
@@ -638,7 +811,7 @@ def _fwd_kernel_fused(att, color_ref, tfin_ref, ncontrib_ref,
         def _compute():
             a = att[:, :, pl.ds(c_idx * CH, CH)]
             if USE_MXU_POWER:
-                alpha = _local_alpha_mxu(a, i, tiles_x, 0, P)
+                alpha = _local_alpha_mxu(a, rows01, tiles_x, 0, P)
             else:
                 alpha, _, _ = _local_alpha(
                     _row(a, _I_MX), _row(a, _I_MY), _row(a, _I_CA),
@@ -688,8 +861,8 @@ def _fwd_kernel_fused(att, color_ref, tfin_ref, ncontrib_ref,
 
 def _bwd_kernel_fused(att, gcolor, gtfin, tfin, ncontrib, datt,
                       t_scr, s_scr, *, tiles_x, n_chunks):
-    i = pl.program_id(0)
-    px, py = _pix_coords(i, tiles_x)
+    rows01 = _block_rows(pl.program_id(0))
+    px, py = _pix_coords(rows01, tiles_x)
     t_scr[:] = tfin[:]
     s_scr[:] = tfin[:] * gtfin[:]
     gC = gcolor[:]
@@ -704,7 +877,7 @@ def _bwd_kernel_fused(att, gcolor, gtfin, tfin, ncontrib, datt,
         def _compute():
             at = att[:, :, ksl]
             if USE_MXU_POWER:
-                alpha = _local_alpha_mxu(at, i, tiles_x, 0, P)
+                alpha = _local_alpha_mxu(at, rows01, tiles_x, 0, P)
                 # fused bwd keeps the dx/dy plane path below, so recompute
                 # them cheaply (subs only; the quadratic moved to the MXU)
                 dx = px[:, :, None] - _row(at, _I_MX)[:, None, :]

@@ -32,7 +32,8 @@ from typing import Dict, Tuple
 import jax
 import jax.numpy as jnp
 
-from pcp_tpu.ops.binning import TileBins, bin_gaussians
+from pcp_tpu.ops.binning import (TileBins, TileBinsSplit, bin_gaussians,
+                                 bin_gaussians_split)
 from pcp_tpu.ops.projection import TILE, CameraIntrin, preprocess
 
 ALPHA_MIN = 1.0 / 255.0
@@ -398,6 +399,105 @@ def composite_fused(
     return image, t_img
 
 
+def _pack_planes(prep):
+    """Plane-major (NA, N) attribute pack for the fused composite."""
+    m = prep["means2d"]
+    c = prep["conics"]
+    rgb = prep["rgb"]
+    return jnp.stack(
+        [m[:, 0], m[:, 1], c[:, 0], c[:, 1], c[:, 2],
+         rgb[:, 0], rgb[:, 1], rgb[:, 2], prep["opacity"]],
+    )
+
+
+def composite_fused_split(
+    prep: Dict[str, jnp.ndarray],
+    bins: TileBinsSplit,
+    image_size,
+    background: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Two-level fused composite: one kernel pass over the dense
+    (num_tiles, k_lo) table plus one over the compact (t_hi, k_hi) heavy-
+    tile table (explicit tile ids), merged by scatter. Total table slots —
+    and with them the attribute gather, kernel DMA, gradient table, and
+    segment-sum backward — track the tile-load DISTRIBUTION instead of
+    num_tiles * max load (see binning.TileBinsSplit)."""
+    from pcp_tpu.ops import pallas_composite as pc
+
+    w, h = int(image_size[0]), int(image_size[1])
+    tiles_x = (w + TILE - 1) // TILE
+    tiles_y = (h + TILE - 1) // TILE
+    num_tiles = tiles_x * tiles_y
+
+    ids_lo = bins.tile_gauss
+    ids_hi = bins.hi_gauss
+    nt, k_lo = ids_lo.shape
+    t_hi, k_hi = ids_hi.shape
+    nt_pad = ((nt + pc.TB - 1) // pc.TB) * pc.TB
+    klo_pad = ((k_lo + pc.CH - 1) // pc.CH) * pc.CH
+    th_pad = ((t_hi + pc.TB - 1) // pc.TB) * pc.TB
+    khi_pad = ((k_hi + pc.CH - 1) // pc.CH) * pc.CH
+    if (nt_pad, klo_pad) != (nt, k_lo):
+        ids_lo = jnp.full((nt_pad, klo_pad), -1,
+                          jnp.int32).at[:nt, :k_lo].set(ids_lo)
+    if (th_pad, khi_pad) != (t_hi, k_hi):
+        ids_hi = jnp.full((th_pad, khi_pad), -1,
+                          jnp.int32).at[:t_hi, :k_hi].set(ids_hi)
+    hi_ids = bins.hi_ids
+    if th_pad != t_hi:
+        hi_ids = jnp.full((th_pad,), -1, jnp.int32).at[:t_hi].set(hi_ids)
+
+    # ONE fused gather (and ONE segment-sum backward) over both tables
+    m_lo = nt_pad * klo_pad
+    idc_cat = jnp.concatenate(
+        [jnp.maximum(ids_lo, 0).reshape(-1),
+         jnp.maximum(ids_hi, 0).reshape(-1)])
+    pack = _pack_planes(prep)
+    if _GRAD_SCATTER == "off":
+        att_cat = _gather_rows_noscatter(pack, idc_cat)
+    elif _GRAD_SCATTER == "segsum":
+        # Every footprint pair lands in EXACTLY ONE of the two tables (a
+        # tile is either lo- or hi-class), so in the zero-drop case the
+        # per-Gaussian slot counts over the CONCATENATED tables are still
+        # the footprint counts, and the sentinel-position formula holds
+        # (pads are gid-0-clamped in both tables). The inverse-permutation
+        # sort is only needed when something was dropped/truncated.
+        rect = prep["rect"]
+        counts = ((rect[:, 2] - rect[:, 0])
+                  * (rect[:, 3] - rect[:, 1])).astype(jnp.int32)
+        exact_ok = ((bins.n_dropped == 0)
+                    & (bins.max_tile_load <= k_hi)
+                    & (bins.n_hi <= t_hi))
+        att_cat = _gather_rows_segsum(pack, idc_cat, counts, exact_ok)
+    else:
+        att_cat = jax.vmap(lambda v: v[idc_cat])(pack)
+    valid_lo = (ids_lo >= 0).astype(jnp.float32)
+    valid_hi = (ids_hi >= 0).astype(jnp.float32)
+    att_lo = att_cat[:, :m_lo].reshape(pc.NA, nt_pad, klo_pad) * valid_lo[None]
+    att_hi = att_cat[:, m_lo:].reshape(pc.NA, th_pad, khi_pad) * valid_hi[None]
+
+    tids_lo = jnp.arange(nt_pad, dtype=jnp.int32)[:, None]
+    tids_hi = jnp.maximum(hi_ids, 0)[:, None]
+    color_lo, tfin_lo = pc.composite_tiles_tid(att_lo, tids_lo, tiles_x)
+    color_hi, tfin_hi = pc.composite_tiles_tid(att_hi, tids_hi, tiles_x)
+
+    safe = jnp.where(hi_ids >= 0, hi_ids, nt_pad)     # OOB rows -> dropped
+    color = color_lo.at[safe].set(color_hi, mode="drop")
+    tfin = tfin_lo.at[safe].set(tfin_hi, mode="drop")
+
+    def untile(x, ch):
+        x = x.reshape(nt_pad, ch, TILE, TILE)[:num_tiles]
+        x = x.reshape(tiles_y, tiles_x, ch, TILE, TILE)
+        x = x.transpose(0, 3, 1, 4, 2).reshape(
+            tiles_y * TILE, tiles_x * TILE, ch)
+        return x[:h, :w]
+
+    color_img = untile(color, 3)
+    t_img = untile(tfin[:, None, :], 1)[..., 0]
+    image = color_img + t_img[..., None] * background.reshape(1, 1, 3)
+    return image, t_img
+
+
 def rasterize(
     xyz,
     scales,
@@ -412,6 +512,8 @@ def rasterize(
     *,
     max_pairs: int = None,
     max_per_tile: int = 512,
+    tile_k_lo: int = 0,
+    tile_hi_cap: int = 0,
     chunk: int = 64,
     tile_batch: int = None,
     means2d_offset=None,
@@ -435,19 +537,30 @@ def rasterize(
         xyz, scales, quats, opacities, sh, viewmat, intrin, image_size,
         sh_degree, tan_fov=tan_fov, means2d_offset=means2d_offset,
     )
-    bins = bin_gaussians(
-        prep["rect"], prep["depths"], tiles_x, tiles_y,
-        max_pairs=max_pairs, max_per_tile=max_per_tile,
-    )
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu" and not FORCE_XLA
-    if use_pallas:
-        image, final_t = composite_fused(prep, bins, image_size, background)
-    else:
-        image, final_t = composite(
-            prep, bins, image_size, background, chunk=chunk,
-            tile_batch=tile_batch,
+    split = use_pallas and tile_k_lo > 0 and tile_hi_cap > 0 \
+        and tile_k_lo < max_per_tile
+    if split:
+        bins = bin_gaussians_split(
+            prep["rect"], prep["depths"], tiles_x, tiles_y,
+            k_lo=tile_k_lo, k_hi=max_per_tile, t_hi=tile_hi_cap,
         )
+        image, final_t = composite_fused_split(
+            prep, bins, image_size, background)
+    else:
+        bins = bin_gaussians(
+            prep["rect"], prep["depths"], tiles_x, tiles_y,
+            max_pairs=max_pairs, max_per_tile=max_per_tile,
+        )
+        if use_pallas:
+            image, final_t = composite_fused(
+                prep, bins, image_size, background)
+        else:
+            image, final_t = composite(
+                prep, bins, image_size, background, chunk=chunk,
+                tile_batch=tile_batch,
+            )
     aux = {
         "radii": prep["radii"],
         "visible": prep["visible"],

@@ -71,6 +71,11 @@ class OptimConfig:
     # TPU additions (static capacities; reference grows dynamically)
     capacity: int = 1 << 20          # per-block Gaussian slot cap (<= 6M ref)
     max_per_tile: int = 1024         # 0 = auto-size from sample-view loads
+    # two-level tile tables (binning.TileBinsSplit): most tiles at k_lo
+    # slots, the heaviest tile_hi_cap tiles at max_per_tile. 0/0 = single
+    # table; --max_per_tile 0 auto-sizes all three from sample-view loads.
+    tile_k_lo: int = 0
+    tile_hi_cap: int = 0
     pairs_per_gaussian: int = 16
     min_opacity: float = 0.005
 

@@ -79,6 +79,7 @@ def evaluate_cameras(state, cams, sh_degree, background, ocfg) -> Dict[str, floa
             state.params, state.alive, group, sh_degree, background,
             max_per_tile=ocfg.max_per_tile,
             pairs_per_gaussian=ocfg.pairs_per_gaussian,
+            tile_k_lo=ocfg.tile_k_lo, tile_hi_cap=ocfg.tile_hi_cap,
             batch=min(max_batch, len(group)),
         )
         l1s.extend(l1)
@@ -178,7 +179,7 @@ def train_scene(
     if ocfg.max_per_tile == 0:
         import dataclasses as _dc
 
-        from pcp_tpu.ops.binning import autosize_max_per_tile
+        from pcp_tpu.ops.binning import autosize_tile_classes
         from pcp_tpu.ops.projection import TILE as _TILE
         from pcp_tpu.ops.projection import preprocess as _preprocess
 
@@ -198,10 +199,13 @@ def train_scene(
             rects.append((np.asarray(prep_s["rect"]),
                           (cam.width + _TILE - 1) // _TILE,
                           (cam.height + _TILE - 1) // _TILE))
-        ocfg = _dc.replace(ocfg, max_per_tile=autosize_max_per_tile(rects))
+        k_lo, k_hi, t_hi = autosize_tile_classes(rects)
+        ocfg = _dc.replace(ocfg, max_per_tile=k_hi,
+                           tile_k_lo=k_lo if t_hi else 0,
+                           tile_hi_cap=t_hi)
         if log_fn:
-            log_fn(f"auto max_per_tile -> {ocfg.max_per_tile} "
-                   f"({len(sample)} sample views)")
+            log_fn(f"auto tile classes -> max_per_tile {k_hi}, "
+                   f"k_lo {k_lo}, t_hi {t_hi} ({len(sample)} sample views)")
 
     # one compiled step per distinct camera resolution (the appearance net
     # is fully convolutional, so a single param set serves every size)

@@ -90,6 +90,8 @@ def render_gaussians(
     *,
     max_per_tile: int = 1024,
     max_pairs: int = None,
+    tile_k_lo: int = 0,
+    tile_hi_cap: int = 0,
     means2d_offset=None,
     tan_fov=None,
     scaling_modifier: float = 1.0,
@@ -111,6 +113,8 @@ def render_gaussians(
         sh_degree,
         max_per_tile=max_per_tile,
         max_pairs=max_pairs,
+        tile_k_lo=tile_k_lo,
+        tile_hi_cap=tile_hi_cap,
         means2d_offset=means2d_offset,
         tan_fov=tan_fov,
     )
@@ -159,6 +163,8 @@ def train_step_impl(
             sh_degree,
             max_per_tile=ocfg.max_per_tile,
             max_pairs=ocfg.pairs_per_gaussian * params["xyz"].shape[0],
+            tile_k_lo=ocfg.tile_k_lo,
+            tile_hi_cap=ocfg.tile_hi_cap,
             means2d_offset=probe,
         )
         if use_appearance and app is not None:

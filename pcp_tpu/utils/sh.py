@@ -53,6 +53,13 @@ def eval_sh(deg: int, sh, dirs):
 
     Returns (..., 3) colors (pre-0.5-offset; caller adds 0.5 and clamps, as
     the rasterizer preprocess does — forward.cu:20-71 semantics).
+
+    Degree ceiling: the reference's eval_sh (sh_utils.py:49-58) carries C4
+    terms, but its own pipeline never exercises them — sh_degree is 3
+    everywhere (arguments/__init__.py, scene/ptgs/gaussian_model.py) and
+    the CUDA rasterizer (forward.cu:20-71) also stops at degree 3. The
+    deg-4 branch is dead code upstream; this implementation deliberately
+    asserts deg <= 3.
     """
     assert 0 <= deg <= 3
     result = C0 * sh[..., 0, :]

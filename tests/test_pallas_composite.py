@@ -131,3 +131,95 @@ def test_fused_matches_xla_multiblock(rng):
     gp = jax.grad(lambda a: loss(True, a))(args[0])
     np.testing.assert_allclose(np.asarray(gp), np.asarray(gx), rtol=2e-3,
                                atol=2e-5)
+
+
+def _skewed_scene(rng, n):
+    """Half the splats cluster near the image center: strong tile-load
+    skew, so a small k_lo forces several tiles into the hi class."""
+    n_hot = n // 2
+    xyz_hot = np.stack(
+        [rng.uniform(-0.25, 0.25, n_hot), rng.uniform(-0.2, 0.2, n_hot),
+         rng.uniform(2, 6, n_hot)], -1)
+    xyz_cold = np.stack(
+        [rng.uniform(-2, 2, n - n_hot), rng.uniform(-1.5, 1.5, n - n_hot),
+         rng.uniform(2, 6, n - n_hot)], -1)
+    xyz = np.concatenate([xyz_hot, xyz_cold]).astype(np.float32)
+    return (
+        jnp.asarray(xyz),
+        jnp.asarray(rng.uniform(0.05, 0.3, (n, 3)).astype(np.float32)),
+        jnp.asarray(rng.normal(size=(n, 4)).astype(np.float32)),
+        jnp.asarray(rng.uniform(0.3, 0.95, n).astype(np.float32)),
+        jnp.asarray(rng.uniform(-0.3, 0.8, (n, 1, 3)).astype(np.float32)),
+        jnp.eye(4),
+    )
+
+
+def test_split_matches_xla_forward(rng):
+    args = _skewed_scene(rng, 400)
+    img_x, aux_x = rasterize(*args, INTRIN, (W, H), BG, 0, use_pallas=False,
+                             max_per_tile=512, max_pairs=1 << 15)
+    img_s, aux_s = rasterize(*args, INTRIN, (W, H), BG, 0, use_pallas=True,
+                             max_per_tile=512, tile_k_lo=128, tile_hi_cap=8,
+                             max_pairs=1 << 15)
+    # the skew must actually exercise the hi table
+    assert int(aux_s["max_tile_load"]) > 128
+    assert int(aux_s["n_dropped"]) == 0
+    np.testing.assert_allclose(np.asarray(img_s), np.asarray(img_x),
+                               atol=3e-5)
+    np.testing.assert_allclose(np.asarray(aux_s["final_t"]),
+                               np.asarray(aux_x["final_t"]), atol=3e-5)
+
+
+def test_split_matches_xla_gradients(rng):
+    xyz, scales, quats, opac, sh, viewmat = _skewed_scene(rng, 300)
+    gt = jnp.asarray(rng.uniform(size=(H, W, 3)).astype(np.float32))
+
+    def loss(split, xyz, scales, opac, sh):
+        kw = (dict(tile_k_lo=128, tile_hi_cap=8, use_pallas=True)
+              if split else dict(use_pallas=False))
+        img, _ = rasterize(
+            xyz, scales, quats, opac, sh, viewmat, INTRIN, (W, H), BG, 0,
+            max_per_tile=512, max_pairs=1 << 15, **kw,
+        )
+        return jnp.mean((img - gt) ** 2)
+
+    gx = jax.grad(lambda *a: loss(False, *a), argnums=(0, 1, 2, 3))(
+        xyz, scales, opac, sh)
+    gs = jax.grad(lambda *a: loss(True, *a), argnums=(0, 1, 2, 3))(
+        xyz, scales, opac, sh)
+    for a, b, name in zip(gx, gs, ("xyz", "scales", "opac", "sh")):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=2e-3, atol=2e-5, err_msg=name
+        )
+
+
+def test_split_hi_overflow_degrades_gracefully(rng):
+    # more hi-class tiles than t_hi: overflow tiles stay in the lo table
+    # truncated to k_lo (nearest-k), drops counted, output finite.
+    args = _skewed_scene(rng, 400)
+    img, aux = rasterize(*args, INTRIN, (W, H), BG, 0, use_pallas=True,
+                         max_per_tile=512, tile_k_lo=128, tile_hi_cap=1,
+                         max_pairs=1 << 15)
+    assert bool(jnp.all(jnp.isfinite(img)))
+    assert int(aux["n_dropped"]) > 0
+
+
+def test_autosize_tile_classes_skew():
+    from pcp_tpu.ops.binning import autosize_tile_classes
+
+    # 100 synthetic rects: 90 small spread out + 10 stacked on one tile
+    rng = np.random.default_rng(0)
+    tx, ty = 16, 12
+    small = np.stack([
+        rng.integers(0, tx - 1, 600), rng.integers(0, ty - 1, 600)], -1)
+    rect_small = np.concatenate([small, small + 1], 1)
+    rect_big = np.tile(np.array([[4, 4, 9, 9]]), (900, 1))
+    rect = np.concatenate([rect_small, rect_big]).astype(np.int32)
+    k_lo, k_hi, t_hi = autosize_tile_classes([(rect, tx, ty)])
+    assert k_hi >= 900
+    assert t_hi > 0 and t_hi % 8 == 0
+    assert k_lo < k_hi
+
+    # near-uniform loads: no split
+    k_lo2, k_hi2, t_hi2 = autosize_tile_classes([(rect_small, tx, ty)])
+    assert t_hi2 == 0

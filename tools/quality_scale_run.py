@@ -257,7 +257,7 @@ def hbm_stats():
         return {"error": str(e)}
 
 
-def phase_eval(root, block_id, variants, iters, out_json):
+def phase_eval(root, block_id, variants, out_json):
     """Render held-out views from each variant's final PLY + metrics."""
     import jax
     import jax.numpy as jnp
@@ -284,7 +284,7 @@ def phase_eval(root, block_id, variants, iters, out_json):
     print(f"eval: {len(test_cams)} held-out views")
 
     rows = []
-    for name, out_dir, wall_min in variants:
+    for name, out_dir, wall_min, iters in variants:
         ply = os.path.join(out_dir, "point_cloud", f"iteration_{iters}",
                            "point_cloud.ply")
         g = load_gaussian_ply(ply)
@@ -347,10 +347,10 @@ def phase_eval(root, block_id, variants, iters, out_json):
                      f"{N_FINE + N_COARSE} true Gaussians, {W}x{H} "
                      f"({W*H/1e6:.2f} MP)",
             "block": block_id,
-            "schedule": f"{iters} iters, densify 1000..{iters} every 200, "
-                        f"opacity reset 3000, appearance ON, capacity "
-                        f"{CAPACITY} (control {CAPACITY_CONTROL}, no "
-                        f"densify)",
+            "schedule": "densify 1000.. every 200, opacity reset 3000, "
+                    "appearance ON, capacity "
+                    f"{CAPACITY} (control {CAPACITY_CONTROL}, no densify); "
+                    "per-variant iteration counts in runs[]",
             "reference_bar": "500k-pt block, 30k iters, ~1MP, densify "
                              "toward multi-M Gaussians "
                              "(shen_partition_utils.py:125, "
@@ -371,13 +371,25 @@ def main():
                     choices=["scene", "partition", "train", "control",
                              "eval", "all"])
     ap.add_argument("--iters", type=int, default=30_000)
+    ap.add_argument("--control_iters", type=int, default=0,
+                    help="no-densify control schedule (0 = same as --iters); "
+                    "the control's fixed 500k-point population converges "
+                    "long before 30k — its in-loop eval curve in the "
+                    "artifact shows the plateau that justifies a shorter "
+                    "schedule when chip time is contended")
     ap.add_argument("--smoke", action="store_true")
     ap.add_argument("--out", default=os.path.join(REPO, "QUALITY_r03.json"))
     args = ap.parse_args()
 
     iters = 1500 if args.smoke else args.iters
+    c_iters = args.control_iters or iters
+    if args.smoke:
+        c_iters = iters
     test_iters = ([500, 1500] if args.smoke
                   else sorted({1000, 7000, 15000, iters}))
+    test_iters_c = ([500, 1500] if args.smoke else sorted(
+        {i for i in (1000, 2500, 5000, 7000, 8500, 15000, c_iters)
+         if i <= c_iters}))
     rng = np.random.default_rng(31)
     root = args.root
     phases = ([args.phase] if args.phase != "all"
@@ -405,24 +417,24 @@ def main():
         print(f"train done in {mins:.1f} min; hbm {hbm_stats()}")
     if "control" in phases:
         out_dir, mins = _train_block(
-            root, block_id, f"output_control{suffix}", iters, False,
-            CAPACITY_CONTROL, test_iters)
+            root, block_id, f"output_control{suffix}", c_iters, False,
+            CAPACITY_CONTROL, test_iters_c)
         timings["control"] = (out_dir, mins)
         print(f"control done in {mins:.1f} min")
     if "eval" in phases:
         block_dir = os.path.join(root, "model", "split_result", "visible",
                                  block_id, f"partition_{block_id}")
         variants = []
-        for name, key in [("densify", "densify"),
-                          ("no_densify_control", "control")]:
+        for name, key, it_v in [("densify", "densify", iters),
+                                ("no_densify_control", "control", c_iters)]:
             od = os.path.join(
                 block_dir,
                 f"output_{'densify' if key == 'densify' else 'control'}"
                 f"{suffix}")
             mins = timings.get(key, (None, -1))[1]
             if os.path.isdir(od):
-                variants.append((name, od, mins))
-        phase_eval(root, block_id, variants, iters,
+                variants.append((name, od, mins, it_v))
+        phase_eval(root, block_id, variants,
                    args.out if not args.smoke
                    else os.path.join(root, "QUALITY_smoke.json"))
 
