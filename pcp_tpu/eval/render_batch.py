@@ -22,11 +22,11 @@ from pcp_tpu.train.step import render_gaussians
 @functools.partial(
     jax.jit,
     static_argnames=("w", "h", "sh_degree", "max_per_tile", "max_pairs",
-                     "tile_k_lo", "tile_hi_cap"),
+                     "tile_k_lo", "tile_hi_cap", "tile_levels"),
 )
 def _render_batch(params, alive, background, viewmats, intrins, *, w, h,
                   sh_degree, max_per_tile, max_pairs, tile_k_lo=0,
-                  tile_hi_cap=0):
+                  tile_hi_cap=0, tile_levels=()):
     """Module-level jitted batch render: params/alive are ARGUMENTS, not
     closure constants, so repeated eval calls over a run reuse ONE compiled
     program per (image size, batch) instead of retracing each invocation
@@ -37,6 +37,7 @@ def _render_batch(params, alive, background, viewmats, intrins, *, w, h,
             params, alive, viewmat, intrin, (w, h), background,
             sh_degree, max_per_tile=max_per_tile, max_pairs=max_pairs,
             tile_k_lo=tile_k_lo, tile_hi_cap=tile_hi_cap,
+            tile_levels=tile_levels,
         )
         return jnp.clip(img, 0.0, 1.0)
 
@@ -46,11 +47,11 @@ def _render_batch(params, alive, background, viewmats, intrins, *, w, h,
 @functools.partial(
     jax.jit,
     static_argnames=("w", "h", "sh_degree", "max_per_tile", "max_pairs",
-                     "tile_k_lo", "tile_hi_cap"),
+                     "tile_k_lo", "tile_hi_cap", "tile_levels"),
 )
 def _render_metrics_batch(params, alive, background, viewmats, intrins, gts,
                           *, w, h, sh_degree, max_per_tile, max_pairs,
-                          tile_k_lo=0, tile_hi_cap=0):
+                          tile_k_lo=0, tile_hi_cap=0, tile_levels=()):
     """Batched render + on-device L1/PSNR reduction: only two scalars per
     view cross the device boundary (training_report, train.py:188-243,
     evaluates hundreds of test views — per-view host math does not scale)."""
@@ -59,7 +60,8 @@ def _render_metrics_batch(params, alive, background, viewmats, intrins, gts,
     imgs = _render_batch(params, alive, background, viewmats, intrins,
                          w=w, h=h, sh_degree=sh_degree,
                          max_per_tile=max_per_tile, max_pairs=max_pairs,
-                         tile_k_lo=tile_k_lo, tile_hi_cap=tile_hi_cap)
+                         tile_k_lo=tile_k_lo, tile_hi_cap=tile_hi_cap,
+                         tile_levels=tile_levels)
     l1 = jnp.mean(jnp.abs(imgs - gts), axis=(1, 2, 3))
     return l1, psnr(imgs, gts)
 
@@ -75,6 +77,7 @@ def render_views(
     pairs_per_gaussian: int = 16,
     tile_k_lo: int = 0,
     tile_hi_cap: int = 0,
+    tile_levels=(),
     batch: int = 8,
 ) -> List[np.ndarray]:
     """Render all cameras (one image size); returns a list of (H, W, 3)."""
@@ -89,6 +92,7 @@ def render_views(
         sh_degree=sh_degree, max_per_tile=max_per_tile,
         max_pairs=pairs_per_gaussian * n,
         tile_k_lo=tile_k_lo, tile_hi_cap=tile_hi_cap,
+        tile_levels=tuple(tile_levels),
     )
 
     out: List[np.ndarray] = []
@@ -124,6 +128,7 @@ def eval_views(
     pairs_per_gaussian: int = 16,
     tile_k_lo: int = 0,
     tile_hi_cap: int = 0,
+    tile_levels=(),
     batch: int = 8,
 ):
     """Batched L1/PSNR over cameras of ONE image size; metrics reduce on
@@ -147,6 +152,7 @@ def eval_views(
             w=w, h=h, sh_degree=sh_degree, max_per_tile=max_per_tile,
             max_pairs=pairs_per_gaussian * n,
             tile_k_lo=tile_k_lo, tile_hi_cap=tile_hi_cap,
+            tile_levels=tuple(tile_levels),
         )
         l1s.extend(np.asarray(l1)[: len(group)].tolist())
         psnrs.extend(np.asarray(ps)[: len(group)].tolist())

@@ -325,6 +325,117 @@ def autosize_max_per_tile(rects_and_grids, chunk=None, headroom=1.6,
     return int(min(k, cap))
 
 
+def tile_loads_device(rect, tiles_x, tiles_y):
+    """Exact per-tile intersection counts from rects, ON DEVICE (jittable).
+
+    Same 2-D difference-array trick as the host sizers (+1/-1 at the four
+    rect corners, two cumsums) but as one scatter-add + cumsums, so
+    periodic re-tuning only moves (num_tiles,) ints over the host link
+    instead of (N, 4) rect tables (~33 MB/view at 2M capacity through the
+    remote-chip tunnel)."""
+    valid = (rect[:, 2] > rect[:, 0]) & (rect[:, 3] > rect[:, 1])
+    one = jnp.where(valid, 1, 0).astype(jnp.int32)
+    x0 = jnp.where(valid, rect[:, 0], 0)
+    y0 = jnp.where(valid, rect[:, 1], 0)
+    x1 = jnp.where(valid, jnp.minimum(rect[:, 2], tiles_x), 0)
+    y1 = jnp.where(valid, jnp.minimum(rect[:, 3], tiles_y), 0)
+    w2 = tiles_x + 1
+    d = jnp.zeros(((tiles_y + 1) * w2,), jnp.int32)
+    d = (d.at[y0 * w2 + x0].add(one)
+          .at[y0 * w2 + x1].add(-one)
+          .at[y1 * w2 + x0].add(-one)
+          .at[y1 * w2 + x1].add(one))
+    g = jnp.cumsum(jnp.cumsum(d.reshape(tiles_y + 1, w2), axis=0), axis=1)
+    return g[:tiles_y, :tiles_x].reshape(-1)
+
+
+def choose_tile_classes(loads, num_tiles, chunk=None, headroom=1.6,
+                        floor=128, cap=4096):
+    """Pick (k_lo, k_hi, t_hi) from measured per-tile loads (views, tiles).
+
+    See autosize_tile_classes for the selection policy."""
+    import numpy as np
+
+    from pcp_tpu.ops import pallas_composite as pc
+
+    if chunk is None:
+        chunk = pc.CH
+    tb = pc.TB
+    loads = np.asarray(loads)
+    maxload = int(loads.max()) if loads.size else 0
+    k_hi = max(floor, int(-(-headroom * max(maxload, 1) // chunk)) * chunk)
+    k_hi = int(min(k_hi, cap))
+
+    best = (num_tiles * k_hi, k_hi, 0)                # single-table cost
+    single_cost = best[0]
+    for k_lo in range(chunk, k_hi, chunk):
+        # worst-case over views of tiles that could outgrow k_lo
+        n_over = int((loads > k_lo / headroom).sum(axis=1).max())
+        t_hi = int(-(-2 * max(n_over, 1) // tb)) * tb
+        if t_hi >= num_tiles // 2:
+            continue
+        cost = num_tiles * k_lo + t_hi * k_hi
+        if cost < best[0]:
+            best = (cost, k_lo, t_hi)
+    if best[0] > 0.75 * single_cost:
+        return k_hi, k_hi, 0
+    return best[1], k_hi, best[2]
+
+
+def choose_tile_levels(loads, num_tiles, chunk=None, headroom=1.6,
+                       band_headroom=1.2, floor=128, cap=4096):
+    """Pick a multi-level table geometry from measured per-tile loads
+    (views, tiles): a dense base at k0 plus compact doubling levels up to
+    k_top = headroom * max load.
+
+    Broad load distributions (real blocks: init p50 960 / p99 2119 over
+    4000 tiles) defeat a two-level split; doubling levels bound total
+    slots by ~1.5-2x the true pair count for ANY distribution shape.
+    Level capacities are sized at 1.5x the worst-case view count of tiles
+    whose load sits within ``band_headroom`` of the level's band (loads
+    drift between the training loop's re-tunes; band_headroom is tighter
+    than the k_top headroom because the retune cadence bounds the drift),
+    TB-rounded. Returns (k0, ((k_i, t_i), ...)); () levels = single
+    table."""
+    import numpy as np
+
+    from pcp_tpu.ops import pallas_composite as pc
+
+    if chunk is None:
+        chunk = pc.CH
+    tb = pc.TB
+    loads = np.asarray(loads)
+    maxload = int(loads.max()) if loads.size else 0
+    k_top = max(floor, int(-(-headroom * max(maxload, 1) // chunk)) * chunk)
+    k_top = int(min(k_top, cap))
+    k0 = 2 * chunk
+    if k_top <= 2 * k0:
+        return k_top, ()
+
+    ks = []
+    k = 2 * k0
+    while k < k_top:
+        ks.append(k)
+        k *= 2
+    ks.append(k_top)
+
+    levels = []
+    prev = k0
+    for j, k in enumerate(ks):
+        # tiles that could land IN this level after load drift: band edges
+        # widened by band_headroom both ways (tiles rise into the level
+        # from below AND fall into it from above between re-tunes)
+        lo_b = loads > prev / band_headroom
+        in_band = lo_b if j == len(ks) - 1 else lo_b & (
+            loads <= k * band_headroom)
+        n_at = int(in_band.sum(axis=1).max()) + 2 * tb   # small abs slack
+        t_cap = int(-(-n_at // tb)) * tb
+        t_cap = min(t_cap, num_tiles)
+        levels.append((k, t_cap))
+        prev = k
+    return k0, tuple(levels)
+
+
 def autosize_tile_classes(rects_and_grids, chunk=None, headroom=1.6,
                           floor=128, cap=4096):
     """Pick the two-level table geometry (k_lo, k_hi, t_hi) from measured
@@ -360,25 +471,9 @@ def autosize_tile_classes(rects_and_grids, chunk=None, headroom=1.6,
         all_loads.append(d.cumsum(0).cumsum(1)[:ty, :tx].reshape(-1))
     if not all_loads:
         return floor, floor, 0
-    loads = np.stack(all_loads)                       # (views, tiles)
-    maxload = int(loads.max())
-    k_hi = max(floor, int(-(-headroom * maxload // chunk)) * chunk)
-    k_hi = int(min(k_hi, cap))
-
-    best = (num_tiles * k_hi, k_hi, 0)                # single-table cost
-    single_cost = best[0]
-    for k_lo in range(chunk, k_hi, chunk):
-        # worst-case over views of tiles that could outgrow k_lo
-        n_over = int((loads > k_lo / headroom).sum(axis=1).max())
-        t_hi = int(-(-2 * max(n_over, 1) // tb)) * tb
-        if t_hi >= num_tiles // 2:
-            continue
-        cost = num_tiles * k_lo + t_hi * k_hi
-        if cost < best[0]:
-            best = (cost, k_lo, t_hi)
-    if best[0] > 0.75 * single_cost:
-        return k_hi, k_hi, 0
-    return best[1], k_hi, best[2]
+    del tb
+    return choose_tile_classes(np.stack(all_loads), num_tiles, chunk=chunk,
+                               headroom=headroom, floor=floor, cap=cap)
 
 
 def _tile_ranges(s_tile, num_tiles):
@@ -557,6 +652,108 @@ class TileBinsSplit(NamedTuple):
     n_hi: jnp.ndarray         # () int32 tiles whose load exceeded k_lo
 
 
+class TileBinsLevels(NamedTuple):
+    """N-level per-tile tables: a dense (num_tiles, k0) base plus compact
+    (t_i, k_i) tables at doubling k_i, each addressed by explicit tile ids.
+
+    Real blocks show BROAD load distributions (the reference operating
+    point at init: p50 960 / p99 2119 / max 2637 over 4000 tiles), so a
+    two-level split saves little — padding every tile to its next level
+    bounds total slots by ~1.5x the true pair count regardless of shape.
+    Tiles overflowing their level's capacity fall back to the dense base
+    truncated to k0 (nearest-k, counted in n_dropped)."""
+    base: jnp.ndarray         # (num_tiles, k0) int32 ids; -1 pad
+    ids: tuple                # per level: (t_i,) int32 tile ids; -1 pad
+    tables: tuple             # per level: (t_i, k_i) int32 ids; -1 pad
+    tile_count: jnp.ndarray   # (num_tiles,) live entries (post-policy)
+    n_pairs: jnp.ndarray      # () int32 total intersections
+    max_tile_load: jnp.ndarray  # () int32 max pre-clamp per-tile occupancy
+    n_dropped: jnp.ndarray    # () int32 pairs lost to static caps
+
+
+def bin_gaussians_levels(
+    rect: jnp.ndarray,
+    depths: jnp.ndarray,
+    tiles_x: int,
+    tiles_y: int,
+    k0: int,
+    levels,                   # sequence of (k_i, t_i), k_i strictly rising
+) -> TileBinsLevels:
+    """N-level binning (see TileBinsLevels). All windows cut from ONE
+    expand+sort; a tile lives in the smallest level whose k covers its
+    load (level capacities permitting)."""
+    num_tiles = tiles_x * tiles_y
+    s_pay, starts, load, total, dropped = _expand_sort_v2(
+        rect, depths, tiles_x, tiles_y)
+    max_tile_load = load.max() if num_tiles > 0 else jnp.int32(0)
+    ks = [k for k, _ in levels]
+    assert list(ks) == sorted(ks) and (not ks or ks[0] > k0)
+    k_max = ks[-1] if ks else k0
+
+    s_pay_pad = jnp.concatenate(
+        [s_pay, jnp.full((k_max,), -1, s_pay.dtype)])
+    tile_ids_all = jnp.arange(num_tiles, dtype=jnp.int32)
+
+    def window(starts_w, counts_w, k):
+        idx = jnp.arange(k, dtype=jnp.int32)[None, :]
+        if WINDOW_MODE == "gather":
+            pos = starts_w[:, None] + idx
+            tbl = s_pay_pad[jnp.minimum(pos, s_pay_pad.shape[0] - 1)]
+        else:
+            tbl = jax.vmap(
+                lambda s: jax.lax.dynamic_slice(s_pay_pad, (s,), (k,))
+            )(starts_w)
+        return jnp.where(idx < counts_w[:, None], tbl, -1)
+
+    # level of each tile: smallest k_i >= load (0 = dense base)
+    lvl = jnp.zeros((num_tiles,), jnp.int32)
+    for i, k in enumerate(ks):
+        lvl = jnp.where(load > (k0 if i == 0 else ks[i - 1]), i + 1, lvl)
+    lvl = jnp.where(load > k_max, len(ks), lvl)   # beyond k_max: top level
+
+    ids_out, tables_out = [], []
+    placed_any = jnp.zeros((num_tiles,), bool)
+    trunc_unplaced = jnp.int32(0)
+    for i, (k, t_cap) in enumerate(levels):
+        mask = lvl == i + 1
+        rank = jnp.cumsum(mask.astype(jnp.int32)) - 1
+        placed = mask & (rank < t_cap)
+        ids_i = (
+            jnp.full((t_cap,), -1, jnp.int32)
+            .at[jnp.where(placed, rank, t_cap)]
+            .set(tile_ids_all, mode="drop")
+        )
+        src = jnp.maximum(ids_i, 0)
+        starts_i = jnp.where(ids_i >= 0, starts[src], s_pay.shape[0])
+        cnt_i = jnp.where(ids_i >= 0, jnp.minimum(load[src], k), 0)
+        tables_out.append(window(starts_i, cnt_i, k))
+        ids_out.append(ids_i)
+        placed_any = placed_any | placed
+        # capacity overflow: those tiles fall back to the base at k0
+        trunc_unplaced += jnp.sum(
+            jnp.where(mask & ~placed, load - jnp.minimum(load, k0), 0))
+
+    in_base = (lvl == 0) | ~placed_any
+    base_cnt = jnp.where(in_base, jnp.minimum(load, k0), 0)
+    base = window(starts, base_cnt, k0)
+
+    # effective per-tile slot budget: its level's k (k0 for base/fallback)
+    eff_k = jnp.full((num_tiles,), k0, jnp.int32)
+    for (k, _), ids_i in zip(levels, ids_out):
+        eff_k = eff_k.at[jnp.maximum(ids_i, 0)].max(
+            jnp.where(ids_i >= 0, k, 0), mode="drop")
+
+    return TileBinsLevels(
+        base,
+        tuple(ids_out),
+        tuple(tables_out),
+        jnp.minimum(load, eff_k),
+        total.astype(jnp.int32),
+        max_tile_load.astype(jnp.int32),
+        (dropped + trunc_unplaced).astype(jnp.int32),
+    )
+
+
 def bin_gaussians_split(
     rect: jnp.ndarray,
     depths: jnp.ndarray,
@@ -566,67 +763,12 @@ def bin_gaussians_split(
     k_hi: int,
     t_hi: int,
 ) -> TileBinsSplit:
-    """Two-level binning: tiles with load <= k_lo fill the dense lo table;
-    heavier tiles move WHOLLY (up to k_hi, nearest-k policy beyond) into
-    the compact hi table. Hi-class tiles beyond the ``t_hi`` capacity stay
-    in the lo table truncated to its k_lo (nearest-k), counted in
-    ``n_dropped`` — degradation, never corruption."""
-    num_tiles = tiles_x * tiles_y
-    s_pay, starts, load, total, dropped = _expand_sort_v2(
-        rect, depths, tiles_x, tiles_y)
-    max_tile_load = load.max() if num_tiles > 0 else jnp.int32(0)
-
-    is_hi = load > k_lo
-    rank = jnp.cumsum(is_hi.astype(jnp.int32)) - 1
-    placed = is_hi & (rank < t_hi)
-    n_hi = jnp.sum(is_hi.astype(jnp.int32))
-    hi_ids = (
-        jnp.full((t_hi,), -1, jnp.int32)
-        .at[jnp.where(placed, rank, t_hi)]
-        .set(jnp.arange(num_tiles, dtype=jnp.int32), mode="drop")
-    )
-
-    # k_hi sentinel rows keep every window slice in-bounds (and give pad
-    # hi rows, whose start points at the sentinel zone, all -1s)
-    s_pay_pad = jnp.concatenate(
-        [s_pay, jnp.full((max(k_hi, k_lo),), -1, s_pay.dtype)])
-
-    k_idx = jnp.arange(k_lo, dtype=jnp.int32)[None, :]
-    lo_cnt = jnp.where(placed, 0, jnp.minimum(load, k_lo))
-    if WINDOW_MODE == "gather":
-        pos = starts[:, None] + k_idx
-        lo_tbl = s_pay_pad[jnp.minimum(pos, s_pay_pad.shape[0] - 1)]
-    else:
-        lo_tbl = jax.vmap(
-            lambda s: jax.lax.dynamic_slice(s_pay_pad, (s,), (k_lo,))
-        )(starts)
-    tile_gauss = jnp.where(k_idx < lo_cnt[:, None], lo_tbl, -1)
-
-    starts_hi = jnp.where(hi_ids >= 0, starts[jnp.maximum(hi_ids, 0)],
-                          s_pay.shape[0])
-    hi_cnt = jnp.where(hi_ids >= 0,
-                       jnp.minimum(load[jnp.maximum(hi_ids, 0)], k_hi), 0)
-    kh_idx = jnp.arange(k_hi, dtype=jnp.int32)[None, :]
-    if WINDOW_MODE == "gather":
-        pos_h = starts_hi[:, None] + kh_idx
-        hi_tbl = s_pay_pad[jnp.minimum(pos_h, s_pay_pad.shape[0] - 1)]
-    else:
-        hi_tbl = jax.vmap(
-            lambda s: jax.lax.dynamic_slice(s_pay_pad, (s,), (k_hi,))
-        )(starts_hi)
-    hi_gauss = jnp.where(kh_idx < hi_cnt[:, None], hi_tbl, -1)
-
-    # unplaced hi tiles fall back to the lo table at k_lo: count the tail
-    trunc_unplaced = jnp.sum(
-        jnp.where(is_hi & ~placed, load - k_lo, 0))
-
+    """Two-level binning — the N=1 case of bin_gaussians_levels, kept as
+    the explicit-flag (--tile_k_lo/--tile_hi_cap) surface."""
+    b = bin_gaussians_levels(rect, depths, tiles_x, tiles_y, k_lo,
+                             [(k_hi, t_hi)])
+    n_hi = jnp.sum((b.ids[0] >= 0).astype(jnp.int32))
     return TileBinsSplit(
-        tile_gauss,
-        hi_ids,
-        hi_gauss,
-        jnp.minimum(load, jnp.where(is_hi, k_hi, k_lo)),
-        total.astype(jnp.int32),
-        max_tile_load.astype(jnp.int32),
-        (dropped + trunc_unplaced).astype(jnp.int32),
-        n_hi,
+        b.base, b.ids[0], b.tables[0], b.tile_count, b.n_pairs,
+        b.max_tile_load, b.n_dropped, n_hi,
     )

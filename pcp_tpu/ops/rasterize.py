@@ -32,8 +32,8 @@ from typing import Dict, Tuple
 import jax
 import jax.numpy as jnp
 
-from pcp_tpu.ops.binning import (TileBins, TileBinsSplit, bin_gaussians,
-                                 bin_gaussians_split)
+from pcp_tpu.ops.binning import (TileBins, bin_gaussians,
+                                 bin_gaussians_levels)
 from pcp_tpu.ops.projection import TILE, CameraIntrin, preprocess
 
 ALPHA_MIN = 1.0 / 255.0
@@ -410,18 +410,18 @@ def _pack_planes(prep):
     )
 
 
-def composite_fused_split(
+def composite_fused_levels(
     prep: Dict[str, jnp.ndarray],
-    bins: TileBinsSplit,
+    bins,                     # binning.TileBinsLevels
     image_size,
     background: jnp.ndarray,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Two-level fused composite: one kernel pass over the dense
-    (num_tiles, k_lo) table plus one over the compact (t_hi, k_hi) heavy-
-    tile table (explicit tile ids), merged by scatter. Total table slots —
-    and with them the attribute gather, kernel DMA, gradient table, and
-    segment-sum backward — track the tile-load DISTRIBUTION instead of
-    num_tiles * max load (see binning.TileBinsSplit)."""
+    """N-level fused composite: one kernel pass over the dense
+    (num_tiles, k0) base plus one per compact (t_i, k_i) level table
+    (explicit tile ids), merged by scatter. Total table slots — and with
+    them the attribute gather, kernel DMA, gradient table, and segment-sum
+    backward — track the tile-load DISTRIBUTION instead of
+    num_tiles * max load (see binning.TileBinsLevels)."""
     from pcp_tpu.ops import pallas_composite as pc
 
     w, h = int(image_size[0]), int(image_size[1])
@@ -429,61 +429,64 @@ def composite_fused_split(
     tiles_y = (h + TILE - 1) // TILE
     num_tiles = tiles_x * tiles_y
 
-    ids_lo = bins.tile_gauss
-    ids_hi = bins.hi_gauss
-    nt, k_lo = ids_lo.shape
-    t_hi, k_hi = ids_hi.shape
-    nt_pad = ((nt + pc.TB - 1) // pc.TB) * pc.TB
-    klo_pad = ((k_lo + pc.CH - 1) // pc.CH) * pc.CH
-    th_pad = ((t_hi + pc.TB - 1) // pc.TB) * pc.TB
-    khi_pad = ((k_hi + pc.CH - 1) // pc.CH) * pc.CH
-    if (nt_pad, klo_pad) != (nt, k_lo):
-        ids_lo = jnp.full((nt_pad, klo_pad), -1,
-                          jnp.int32).at[:nt, :k_lo].set(ids_lo)
-    if (th_pad, khi_pad) != (t_hi, k_hi):
-        ids_hi = jnp.full((th_pad, khi_pad), -1,
-                          jnp.int32).at[:t_hi, :k_hi].set(ids_hi)
-    hi_ids = bins.hi_ids
-    if th_pad != t_hi:
-        hi_ids = jnp.full((th_pad,), -1, jnp.int32).at[:t_hi].set(hi_ids)
+    def pad_tbl(ids):
+        nt, k = ids.shape
+        ntp = ((nt + pc.TB - 1) // pc.TB) * pc.TB
+        kp = ((k + pc.CH - 1) // pc.CH) * pc.CH
+        if (ntp, kp) != (nt, k):
+            ids = jnp.full((ntp, kp), -1, jnp.int32).at[:nt, :k].set(ids)
+        return ids
 
-    # ONE fused gather (and ONE segment-sum backward) over both tables
-    m_lo = nt_pad * klo_pad
+    tbls = [pad_tbl(bins.base)] + [pad_tbl(t) for t in bins.tables]
+    nt_pad = tbls[0].shape[0]
+    tids = [jnp.arange(nt_pad, dtype=jnp.int32)]
+    for ids_i in bins.ids:
+        tp = tbls[len(tids)].shape[0]
+        if tp != ids_i.shape[0]:
+            ids_i = jnp.full((tp,), -1, jnp.int32).at[:ids_i.shape[0]].set(
+                ids_i)
+        tids.append(ids_i)
+
+    # ONE fused gather (and ONE segment-sum backward) over all tables
     idc_cat = jnp.concatenate(
-        [jnp.maximum(ids_lo, 0).reshape(-1),
-         jnp.maximum(ids_hi, 0).reshape(-1)])
+        [jnp.maximum(t, 0).reshape(-1) for t in tbls])
     pack = _pack_planes(prep)
     if _GRAD_SCATTER == "off":
         att_cat = _gather_rows_noscatter(pack, idc_cat)
     elif _GRAD_SCATTER == "segsum":
-        # Every footprint pair lands in EXACTLY ONE of the two tables (a
-        # tile is either lo- or hi-class), so in the zero-drop case the
-        # per-Gaussian slot counts over the CONCATENATED tables are still
-        # the footprint counts, and the sentinel-position formula holds
-        # (pads are gid-0-clamped in both tables). The inverse-permutation
-        # sort is only needed when something was dropped/truncated.
+        # Every footprint pair lands in EXACTLY ONE table (a tile lives in
+        # exactly one level), so in the zero-drop case the per-Gaussian
+        # slot counts over the CONCATENATED tables are still the footprint
+        # counts and the sentinel-position formula holds (pads are
+        # gid-0-clamped in every table). The inverse-permutation sort is
+        # only needed when something was dropped/truncated.
         rect = prep["rect"]
         counts = ((rect[:, 2] - rect[:, 0])
                   * (rect[:, 3] - rect[:, 1])).astype(jnp.int32)
+        k_top = tbls[-1].shape[1] if bins.tables else tbls[0].shape[1]
         exact_ok = ((bins.n_dropped == 0)
-                    & (bins.max_tile_load <= k_hi)
-                    & (bins.n_hi <= t_hi))
+                    & (bins.max_tile_load <= k_top))
         att_cat = _gather_rows_segsum(pack, idc_cat, counts, exact_ok)
     else:
         att_cat = jax.vmap(lambda v: v[idc_cat])(pack)
-    valid_lo = (ids_lo >= 0).astype(jnp.float32)
-    valid_hi = (ids_hi >= 0).astype(jnp.float32)
-    att_lo = att_cat[:, :m_lo].reshape(pc.NA, nt_pad, klo_pad) * valid_lo[None]
-    att_hi = att_cat[:, m_lo:].reshape(pc.NA, th_pad, khi_pad) * valid_hi[None]
 
-    tids_lo = jnp.arange(nt_pad, dtype=jnp.int32)[:, None]
-    tids_hi = jnp.maximum(hi_ids, 0)[:, None]
-    color_lo, tfin_lo = pc.composite_tiles_tid(att_lo, tids_lo, tiles_x)
-    color_hi, tfin_hi = pc.composite_tiles_tid(att_hi, tids_hi, tiles_x)
-
-    safe = jnp.where(hi_ids >= 0, hi_ids, nt_pad)     # OOB rows -> dropped
-    color = color_lo.at[safe].set(color_hi, mode="drop")
-    tfin = tfin_lo.at[safe].set(tfin_hi, mode="drop")
+    color = None
+    tfin = None
+    off = 0
+    for lvl, (tbl, tid) in enumerate(zip(tbls, tids)):
+        tp, kp = tbl.shape
+        m = tp * kp
+        att = att_cat[:, off:off + m].reshape(pc.NA, tp, kp)
+        att = att * (tbl >= 0).astype(jnp.float32)[None]
+        off += m
+        c_l, t_l = pc.composite_tiles_tid(
+            att, jnp.maximum(tid, 0)[:, None], tiles_x)
+        if lvl == 0:
+            color, tfin = c_l, t_l
+        else:
+            safe = jnp.where(tid >= 0, tid, nt_pad)   # OOB rows -> dropped
+            color = color.at[safe].set(c_l, mode="drop")
+            tfin = tfin.at[safe].set(t_l, mode="drop")
 
     def untile(x, ch):
         x = x.reshape(nt_pad, ch, TILE, TILE)[:num_tiles]
@@ -514,6 +517,7 @@ def rasterize(
     max_per_tile: int = 512,
     tile_k_lo: int = 0,
     tile_hi_cap: int = 0,
+    tile_levels=(),
     chunk: int = 64,
     tile_batch: int = None,
     means2d_offset=None,
@@ -539,14 +543,15 @@ def rasterize(
     )
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu" and not FORCE_XLA
-    split = use_pallas and tile_k_lo > 0 and tile_hi_cap > 0 \
-        and tile_k_lo < max_per_tile
-    if split:
-        bins = bin_gaussians_split(
+    levels = tuple(tile_levels)
+    if not levels and tile_hi_cap > 0 and 0 < tile_k_lo < max_per_tile:
+        levels = ((max_per_tile, tile_hi_cap),)
+    if use_pallas and levels and tile_k_lo > 0:
+        bins = bin_gaussians_levels(
             prep["rect"], prep["depths"], tiles_x, tiles_y,
-            k_lo=tile_k_lo, k_hi=max_per_tile, t_hi=tile_hi_cap,
+            k0=tile_k_lo, levels=levels,
         )
-        image, final_t = composite_fused_split(
+        image, final_t = composite_fused_levels(
             prep, bins, image_size, background)
     else:
         bins = bin_gaussians(

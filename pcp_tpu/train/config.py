@@ -71,11 +71,15 @@ class OptimConfig:
     # TPU additions (static capacities; reference grows dynamically)
     capacity: int = 1 << 20          # per-block Gaussian slot cap (<= 6M ref)
     max_per_tile: int = 1024         # 0 = auto-size from sample-view loads
-    # two-level tile tables (binning.TileBinsSplit): most tiles at k_lo
-    # slots, the heaviest tile_hi_cap tiles at max_per_tile. 0/0 = single
-    # table; --max_per_tile 0 auto-sizes all three from sample-view loads.
+    # multi-level tile tables (binning.TileBinsLevels): most tiles in a
+    # dense (num_tiles, tile_k_lo) base, heavier tiles in compact doubling
+    # levels. tile_levels = "k1:t1,k2:t2,..." (overrides tile_hi_cap);
+    # tile_hi_cap alone gives the two-level form with k_hi = max_per_tile.
+    # 0/empty = single table; --max_per_tile 0 auto-sizes everything from
+    # sample-view loads and RE-TUNES during training (PCP_RETUNE cadence).
     tile_k_lo: int = 0
     tile_hi_cap: int = 0
+    tile_levels: str = ""
     pairs_per_gaussian: int = 16
     min_opacity: float = 0.005
 
@@ -100,6 +104,21 @@ class TrainRunConfig:
     checkpoint_iterations: List[int] = field(default_factory=list)
     start_checkpoint: Optional[str] = None
     seed: int = 0
+
+
+def parse_tile_levels(spec: str):
+    """"k1:t1,k2:t2,..." -> ((k1, t1), (k2, t2), ...); "" -> ()."""
+    if not spec:
+        return ()
+    out = []
+    for part in spec.split(","):
+        k, t = part.split(":")
+        out.append((int(k), int(t)))
+    return tuple(out)
+
+
+def format_tile_levels(levels) -> str:
+    return ",".join(f"{k}:{t}" for k, t in levels)
 
 
 def save_cfg_args(model_path: str, cfg: TrainRunConfig) -> None:

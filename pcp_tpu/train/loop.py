@@ -10,6 +10,7 @@ The GUI socket poll (network_gui) lives in pcp_tpu.viewer and is optional.
 
 from __future__ import annotations
 
+import functools
 import json
 import os
 import random
@@ -26,7 +27,8 @@ from pcp_tpu.scene import cameras as cam_mod
 from pcp_tpu.scene.dataset import SceneInfo, split_train_test
 from pcp_tpu.train import checkpoint as ckpt
 from pcp_tpu.train import optim
-from pcp_tpu.train.config import TrainRunConfig, save_cfg_args
+from pcp_tpu.train.config import (TrainRunConfig, parse_tile_levels,
+                                  save_cfg_args)
 from pcp_tpu.train.step import (
     TrainState,
     make_densify_step,
@@ -80,6 +82,7 @@ def evaluate_cameras(state, cams, sh_degree, background, ocfg) -> Dict[str, floa
             max_per_tile=ocfg.max_per_tile,
             pairs_per_gaussian=ocfg.pairs_per_gaussian,
             tile_k_lo=ocfg.tile_k_lo, tile_hi_cap=ocfg.tile_hi_cap,
+            tile_levels=parse_tile_levels(ocfg.tile_levels),
             batch=min(max_batch, len(group)),
         )
         l1s.extend(l1)
@@ -176,46 +179,105 @@ def train_scene(
     # single biggest per-scene knob (PERF_NOTES "max_per_tile
     # right-sizing"). Densify growth is covered by the headroom + the
     # saturation warning below.
-    if ocfg.max_per_tile == 0:
-        import dataclasses as _dc
+    auto_tiles = ocfg.max_per_tile == 0
 
-        from pcp_tpu.ops.binning import autosize_tile_classes
+    def _sample_loads():
+        """Per-tile loads on 8 sample views of the CURRENT state, computed
+        on device — only (num_tiles,) ints cross the host link."""
+        from pcp_tpu.ops.binning import tile_loads_device
         from pcp_tpu.ops.projection import TILE as _TILE
         from pcp_tpu.ops.projection import preprocess as _preprocess
 
+        @functools.partial(jax.jit, static_argnames=("wh", "deg", "tx", "ty"))
+        def loads_fn(xyz, scaling, rotation, opacity, alive, sh_a,
+                     viewmat_s, intrin_s, wh, deg, tx, ty):
+            scales_a = G.scaling_act(scaling)
+            opac_a = (G.opacity_act(opacity)[:, 0]
+                      * alive.astype(jnp.float32))
+            prep_s = _preprocess(xyz, scales_a, rotation, opac_a, sh_a,
+                                 viewmat_s, intrin_s, wh, deg)
+            return tile_loads_device(prep_s["rect"], tx, ty)
+
         sample = cams[:: max(1, len(cams) // 8)][:8]
-        scales_a = G.scaling_act(state.params["scaling"])
-        opac_a = (G.opacity_act(state.params["opacity"])[:, 0]
-                  * state.alive.astype(jnp.float32))
         sh_a = G.sh_coeffs(state.params)
-        rects = []
-        pre = jax.jit(_preprocess, static_argnums=(7, 8))
+        out = []
         for cam in sample:
             viewmat_s, intrin_s = cam_mod.camera_device_arrays(cam)
-            prep_s = pre(state.params["xyz"], scales_a,
-                         state.params["rotation"], opac_a, sh_a,
-                         viewmat_s, intrin_s, (cam.width, cam.height),
-                         cfg.model.sh_degree)
-            rects.append((np.asarray(prep_s["rect"]),
-                          (cam.width + _TILE - 1) // _TILE,
-                          (cam.height + _TILE - 1) // _TILE))
-        k_lo, k_hi, t_hi = autosize_tile_classes(rects)
-        ocfg = _dc.replace(ocfg, max_per_tile=k_hi,
-                           tile_k_lo=k_lo if t_hi else 0,
-                           tile_hi_cap=t_hi)
+            tx = (cam.width + _TILE - 1) // _TILE
+            ty = (cam.height + _TILE - 1) // _TILE
+            out.append(np.asarray(loads_fn(
+                state.params["xyz"], state.params["scaling"],
+                state.params["rotation"], state.params["opacity"],
+                state.alive, sh_a, viewmat_s, intrin_s,
+                (cam.width, cam.height), cfg.model.sh_degree, tx, ty)))
+        num_tiles = max(a.shape[0] for a in out)
+        loads = np.stack([np.pad(a, (0, num_tiles - a.shape[0]))
+                          for a in out])
+        return loads, num_tiles
+
+    def _autosize(tag):
+        import dataclasses as _dc
+
+        from pcp_tpu.ops.binning import choose_tile_levels
+        from pcp_tpu.train.config import format_tile_levels
+
+        loads, num_tiles = _sample_loads()
+        k0, levels = choose_tile_levels(loads, num_tiles)
+        k_top = levels[-1][0] if levels else k0
+        new = _dc.replace(ocfg, max_per_tile=k_top,
+                          tile_k_lo=k0 if levels else 0,
+                          tile_levels=format_tile_levels(levels),
+                          tile_hi_cap=0)
         if log_fn:
-            log_fn(f"auto tile classes -> max_per_tile {k_hi}, "
-                   f"k_lo {k_lo}, t_hi {t_hi} ({len(sample)} sample views)")
+            log_fn(f"auto tile levels ({tag}) -> base k0 {k0}, levels "
+                   f"[{new.tile_levels or '-'}] "
+                   f"(max load {int(loads.max())})")
+        return new, num_tiles
+
+    if auto_tiles:
+        ocfg, _ = _autosize("init")
 
     # one compiled step per distinct camera resolution (the appearance net
     # is fully convolutional, so a single param set serves every size)
-    step_fns = {
-        s: make_train_step(
-            ocfg, s, scene.extent, use_appearance=cfg.pipeline.use_appearance
-        )
-        for s in sizes
-    }
+    def _build_steps(oc):
+        return {
+            s: make_train_step(
+                oc, s, scene.extent,
+                use_appearance=cfg.pipeline.use_appearance)
+            for s in sizes
+        }
+
+    step_fns = _build_steps(ocfg)
     densify_fn = make_densify_step(ocfg, scene.extent)
+
+    # Dynamic re-tuning (the analog of the CUDA rasterizer's buffer
+    # resizing, rasterizer_impl.cu:155-194): tile loads COLLAPSE within
+    # the first ~1k iterations as fat kNN-init splats shrink, then drift
+    # with densify — a geometry sized at init can be 3-5x too generous for
+    # 95% of a 30k run. Re-measure on a cadence; rebuild (recompile) the
+    # step only when the slot cost moves >20% or the max load outgrows
+    # the current k_hi.
+    retune_at = set()
+    if auto_tiles:
+        import os as _os
+
+        r0 = int(_os.environ.get("PCP_RETUNE", "3000"))
+        if r0 > 0:
+            retune_at = {start_iter + 300, start_iter + 1000} | {
+                i for i in range(0, ocfg.iterations + 1, r0)
+                if i > start_iter
+            }
+
+    def _table_cost(oc, num_tiles):
+        from pcp_tpu.train.config import parse_tile_levels
+
+        levels = parse_tile_levels(oc.tile_levels)
+        if not levels and oc.tile_hi_cap > 0:
+            levels = ((oc.max_per_tile, oc.tile_hi_cap),)
+        if levels and oc.tile_k_lo > 0:
+            return (num_tiles * oc.tile_k_lo
+                    + sum(k * t for k, t in levels))
+        return num_tiles * oc.max_per_tile
 
     from pcp_tpu.train.logging import TrainLogger
 
@@ -292,6 +354,18 @@ def train_scene(
                 cfg.model.white_background and it == ocfg.densify_from_iter
             ):
                 state = opacity_reset_step(state)
+
+        if it in retune_at:
+            new_ocfg, num_tiles = _autosize(f"iter {it}")
+            cur_cost = _table_cost(ocfg, num_tiles)
+            new_cost = _table_cost(new_ocfg, num_tiles)
+            if (abs(new_cost - cur_cost) > 0.2 * max(cur_cost, 1)
+                    or new_ocfg.max_per_tile > ocfg.max_per_tile):
+                ocfg = new_ocfg
+                step_fns = _build_steps(ocfg)
+                if log_fn:
+                    log_fn(f"[retune] iter {it}: table slots "
+                           f"{cur_cost} -> {new_cost}; recompiling step")
 
         if it % 100 == 0 or it == 1:
             loss = float(metrics["loss"])

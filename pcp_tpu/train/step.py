@@ -34,6 +34,7 @@ from pcp_tpu.models.appearance import decouple_appearance
 from pcp_tpu.ops.projection import CameraIntrin
 from pcp_tpu.ops.rasterize import rasterize
 from pcp_tpu.train import optim
+from pcp_tpu.train.config import parse_tile_levels
 from pcp_tpu.train.config import OptimConfig
 from pcp_tpu.utils.general import expon_lr
 from pcp_tpu.utils.loss import l1_loss, ssim
@@ -92,6 +93,7 @@ def render_gaussians(
     max_pairs: int = None,
     tile_k_lo: int = 0,
     tile_hi_cap: int = 0,
+    tile_levels=(),
     means2d_offset=None,
     tan_fov=None,
     scaling_modifier: float = 1.0,
@@ -115,6 +117,7 @@ def render_gaussians(
         max_pairs=max_pairs,
         tile_k_lo=tile_k_lo,
         tile_hi_cap=tile_hi_cap,
+        tile_levels=tile_levels,
         means2d_offset=means2d_offset,
         tan_fov=tan_fov,
     )
@@ -165,6 +168,7 @@ def train_step_impl(
             max_pairs=ocfg.pairs_per_gaussian * params["xyz"].shape[0],
             tile_k_lo=ocfg.tile_k_lo,
             tile_hi_cap=ocfg.tile_hi_cap,
+            tile_levels=parse_tile_levels(ocfg.tile_levels),
             means2d_offset=probe,
         )
         if use_appearance and app is not None:

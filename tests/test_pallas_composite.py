@@ -223,3 +223,63 @@ def test_autosize_tile_classes_skew():
     # near-uniform loads: no split
     k_lo2, k_hi2, t_hi2 = autosize_tile_classes([(rect_small, tx, ty)])
     assert t_hi2 == 0
+
+
+def test_levels_matches_xla(rng):
+    # three-level geometry on a broad load distribution
+    args = _skewed_scene(rng, 500)
+    img_x, aux_x = rasterize(*args, INTRIN, (W, H), BG, 0, use_pallas=False,
+                             max_per_tile=1024, max_pairs=1 << 15)
+    img_l, aux_l = rasterize(
+        *args, INTRIN, (W, H), BG, 0, use_pallas=True,
+        max_per_tile=1024, tile_k_lo=128,
+        tile_levels=((256, 8), (1024, 8)), max_pairs=1 << 15)
+    assert int(aux_l["n_dropped"]) == 0
+    np.testing.assert_allclose(np.asarray(img_l), np.asarray(img_x),
+                               atol=3e-5)
+    np.testing.assert_allclose(np.asarray(aux_l["final_t"]),
+                               np.asarray(aux_x["final_t"]), atol=3e-5)
+
+    def loss(use_levels, xyz):
+        kw = (dict(tile_k_lo=128, tile_levels=((256, 8), (1024, 8)),
+                   use_pallas=True)
+              if use_levels else dict(use_pallas=False))
+        img, _ = rasterize(xyz, *args[1:], INTRIN, (W, H), BG, 0,
+                           max_per_tile=1024, max_pairs=1 << 15, **kw)
+        return jnp.mean(img * img)
+
+    gx = jax.grad(lambda a: loss(False, a))(args[0])
+    gl = jax.grad(lambda a: loss(True, a))(args[0])
+    np.testing.assert_allclose(np.asarray(gl), np.asarray(gx), rtol=2e-3,
+                               atol=2e-5)
+
+
+def test_choose_tile_levels_broad():
+    from pcp_tpu.ops.binning import choose_tile_levels
+
+    rng = np.random.default_rng(3)
+    nt = 4000
+    # broad distribution like the real block: loads spread 100..2600
+    loads = rng.integers(100, 2600, (4, nt))
+    k0, levels = choose_tile_levels(loads, nt)
+    assert k0 == 256
+    ks = [k for k, _ in levels]
+    assert ks == sorted(ks) and ks[-1] >= 2600 * 1.3
+    assert all(t % 8 == 0 and t > 0 for _, t in levels)
+    # uniform loads are the adversarial case for leveling: the doubling
+    # pad alone costs ~1.33x the mean floor — still clearly under single
+    total = nt * k0 + sum(k * t for k, t in levels)
+    assert total < 0.9 * nt * ks[-1]
+
+    # decaying tail (the converged-scene shape): leveling wins big
+    tail = np.minimum((rng.pareto(2.0, (4, nt)) * 150 + 60), 2600
+                      ).astype(int)
+    k0_t, levels_t = choose_tile_levels(tail, nt)
+    total_t = nt * k0_t + sum(k * t for k, t in levels_t)
+    k_top_t = levels_t[-1][0] if levels_t else k0_t
+    assert total_t < 0.2 * nt * k_top_t
+
+    # narrow distribution: single table
+    k0_n, levels_n = choose_tile_levels(
+        np.full((2, nt), 300), nt)
+    assert levels_n == () and k0_n >= 300

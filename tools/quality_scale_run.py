@@ -222,7 +222,9 @@ def _train_block(root, block_id, out_name, iters, densify, capacity,
         "--disable_viewer",
         "--seed", str(seed),
         "--test_iterations", *[str(i) for i in test_iters],
-        "--save_iterations", str(iters),
+        # PLY at every checkpoint too: a wall-clock-killed run still
+        # leaves a renderable model at the last 5k boundary
+        "--save_iterations", *[str(i) for i in (ckpt_iters + [iters])],
     ]
     if ckpt_iters:
         argv += ["--checkpoint_iterations", *[str(i) for i in ckpt_iters]]
@@ -285,8 +287,18 @@ def phase_eval(root, block_id, variants, out_json):
 
     rows = []
     for name, out_dir, wall_min, iters in variants:
-        ply = os.path.join(out_dir, "point_cloud", f"iteration_{iters}",
-                           "point_cloud.ply")
+        # latest snapshot at or below the scheduled end (a killed run
+        # reports its actual reached iteration honestly)
+        snaps = sorted(
+            (int(os.path.basename(d)[len("iteration_"):]), d)
+            for d in glob.glob(os.path.join(out_dir, "point_cloud",
+                                            "iteration_*"))
+            if int(os.path.basename(d)[len("iteration_"):]) <= iters)
+        if not snaps:
+            print(f"skip {name}: no PLY snapshot under {out_dir}")
+            continue
+        iters = snaps[-1][0]
+        ply = os.path.join(snaps[-1][1], "point_cloud.ply")
         g = load_gaussian_ply(ply)
         n_alive = g["xyz"].shape[0]
         sh = jnp.concatenate(
