@@ -77,9 +77,11 @@ def bin_gaussians(
     tiles_y: int,
     max_pairs: int,
     max_per_tile: int,
+    active_cap: int = 0,
 ) -> TileBins:
     if BINNING_VERSION == "v2":
-        return bin_gaussians_v2(rect, depths, tiles_x, tiles_y, max_per_tile)
+        return bin_gaussians_v2(rect, depths, tiles_x, tiles_y, max_per_tile,
+                                active_cap)
     return _bin_gaussians_v1(rect, depths, tiles_x, tiles_y, max_pairs,
                              max_per_tile)
 
@@ -325,6 +327,20 @@ def autosize_max_per_tile(rects_and_grids, chunk=None, headroom=1.6,
     return int(min(k, cap))
 
 
+def expansion_key_slots(n: int, num_tiles: int, active_cap: int = 0) -> int:
+    """Static key-slot count of _expand_sort_v2's expansion — i.e. the
+    sort length the capacity side of binning pays. The training loop's
+    re-tuner folds this into its table-cost comparison so a changed
+    ``active_cap`` (alive-scaled class tables) triggers a recompile the
+    same way changed tile-level geometry does."""
+    nb = min(n, active_cap) if 0 < active_cap else n
+    cap_b = max(nb // CAPB_DIV, 32)
+    cap_c = max(nb // CAPC_DIV, 16)
+    cap_d = max(nb // CAPD_DIV, 8)
+    a_rows = nb if 0 < nb < n else n          # class A compacts iff scaled
+    return a_rows * R1 + cap_b * R2 + cap_c * R3 + cap_d * num_tiles
+
+
 def tile_loads_device(rect, tiles_x, tiles_y):
     """Exact per-tile intersection counts from rects, ON DEVICE (jittable).
 
@@ -517,9 +533,17 @@ def _compact_classes(masks_caps, n):
     return out
 
 
-def _expand_sort_v2(rect, depths, tiles_x, tiles_y):
+def _expand_sort_v2(rect, depths, tiles_x, tiles_y, active_cap=0):
     """The v2 class-table expansion + [tile|depth] sort, shared by the
-    single-table and two-level (split) window builders.
+    single-table and multi-level window builders.
+
+    ``active_cap`` (static): expected upper bound on LIVE Gaussians —
+    class-table caps scale from it instead of the full slot capacity.
+    At reference scale (capacity 2^21, ~720k alive) the capacity-scaled
+    tables expand+sort 60.7M key slots of which most are dead-slot
+    sentinels; an alive-scaled bound roughly halves that. The training
+    loop re-tunes it with the tile-level geometry (drops are counted if
+    the population outgrows it between re-tunes). 0 = full capacity.
 
     Returns (s_pay sorted Gaussian ids, starts, load, total, drops)."""
     n = rect.shape[0]
@@ -527,10 +551,11 @@ def _expand_sort_v2(rect, depths, tiles_x, tiles_y):
     tile_bits = _ceil_log2(num_tiles + 1)
     depth_bits = 32 - tile_bits
     assert tile_bits <= 16, f"{num_tiles} tiles won't fit the packed key"
-    cap_b = max(n // CAPB_DIV, 32)
-    cap_c = max(n // CAPC_DIV, 16)
+    nb = min(n, active_cap) if active_cap > 0 else n
+    cap_b = max(nb // CAPB_DIV, 32)
+    cap_c = max(nb // CAPC_DIV, 16)
 
-    cap_d = max(n // CAPD_DIV, 8)
+    cap_d = max(nb // CAPD_DIV, 8)
 
     x0, y0 = rect[:, 0], rect[:, 1]
     wx = rect[:, 2] - rect[:, 0]
@@ -544,17 +569,28 @@ def _expand_sort_v2(rect, depths, tiles_x, tiles_y):
 
     gid_all = jnp.arange(n, dtype=jnp.int32)
 
-    # class A: dense rows, footprint <= R1
-    counts_a = jnp.where(counts <= R1, counts, 0)
-    key_a, pay_a = _expand_rows(x0, y0, wx, dq, gid_all, counts_a, R1,
-                                tiles_x, depth_bits)
+    class_specs = [((counts > R1) & (counts <= R2), cap_b, R2),
+                   ((counts > R2) & (counts <= R3), cap_c, R3),
+                   # class D: footprints beyond R3 get rows as wide as the
+                   # whole tile grid (a footprint cannot exceed num_tiles),
+                   # so nothing is ever truncated; the table is tiny
+                   # because such splats are vanishingly rare in any scene
+                   # that survives densify/prune.
+                   (counts > R3, cap_d, num_tiles)]
+    if 0 < nb < n:
+        # alive-scaled mode: class A compacts too (dead slots emit no
+        # sentinel rows; counts==0 rows never enter any table)
+        class_specs.insert(
+            0, ((counts > 0) & (counts <= R1), nb, R1))
+        key_a = pay_a = None
+    else:
+        # class A: dense rows, footprint <= R1 (zero-risk default)
+        counts_a = jnp.where(counts <= R1, counts, 0)
+        key_a, pay_a = _expand_rows(x0, y0, wx, dq, gid_all, counts_a, R1,
+                                    tiles_x, depth_bits)
 
     compacted = _compact_classes(
-        [((counts > R1) & (counts <= R2), cap_b),
-         ((counts > R2) & (counts <= R3), cap_c),
-         (counts > R3, cap_d)],
-        n,
-    )
+        [(m, cap) for m, cap, _ in class_specs], n)
 
     def table(which, mask, cap, r):
         idx, rank_c = compacted[which]
@@ -570,22 +606,24 @@ def _expand_sort_v2(rect, depths, tiles_x, tiles_y):
         trunc = jnp.sum(jnp.where(ok, counts[src] - cnt, 0))
         return key, pay, over + trunc
 
-    key_b, pay_b, drop_b = table(0, (counts > R1) & (counts <= R2), cap_b, R2)
-    key_c, pay_c, drop_c = table(1, (counts > R2) & (counts <= R3), cap_c, R3)
-    # class D: footprints beyond R3 get rows as wide as the whole tile grid
-    # (a footprint cannot exceed num_tiles), so nothing is ever truncated;
-    # the table is tiny (N/4096 rows) because such splats are vanishingly
-    # rare in any scene that survives densify/prune.
-    key_d, pay_d, drop_d = table(2, counts > R3, cap_d, num_tiles)
+    keys_l, pays_l, drops = [], [], jnp.int32(0)
+    for which, (mask, cap, r) in enumerate(class_specs):
+        k_w, p_w, d_w = table(which, mask, cap, r)
+        keys_l.append(k_w)
+        pays_l.append(p_w)
+        drops = drops + d_w
+    if key_a is not None:
+        keys_l.insert(0, key_a)
+        pays_l.insert(0, pay_a)
 
-    keys = jnp.concatenate([key_a, key_b, key_c, key_d])
-    pays = jnp.concatenate([pay_a, pay_b, pay_c, pay_d])
+    keys = jnp.concatenate(keys_l)
+    pays = jnp.concatenate(pays_l)
     s_key, s_pay = jax.lax.sort((keys, pays), num_keys=1, is_stable=False)
     s_tile = (s_key >> jnp.uint32(depth_bits)).astype(jnp.int32)
 
     starts, ends = _tile_ranges(s_tile, num_tiles)
     load = ends - starts
-    return s_pay, starts, load, total, drop_b + drop_c + drop_d
+    return s_pay, starts, load, total, drops
 
 
 def bin_gaussians_v2(
@@ -594,10 +632,11 @@ def bin_gaussians_v2(
     tiles_x: int,
     tiles_y: int,
     max_per_tile: int,
+    active_cap: int = 0,
 ) -> TileBins:
     num_tiles = tiles_x * tiles_y
     s_pay, starts, load, total, dropped = _expand_sort_v2(
-        rect, depths, tiles_x, tiles_y)
+        rect, depths, tiles_x, tiles_y, active_cap)
     max_tile_load = load.max() if num_tiles > 0 else jnp.int32(0)
     tile_count = jnp.minimum(load, max_per_tile)
 
@@ -678,13 +717,14 @@ def bin_gaussians_levels(
     tiles_y: int,
     k0: int,
     levels,                   # sequence of (k_i, t_i), k_i strictly rising
+    active_cap: int = 0,
 ) -> TileBinsLevels:
     """N-level binning (see TileBinsLevels). All windows cut from ONE
     expand+sort; a tile lives in the smallest level whose k covers its
     load (level capacities permitting)."""
     num_tiles = tiles_x * tiles_y
     s_pay, starts, load, total, dropped = _expand_sort_v2(
-        rect, depths, tiles_x, tiles_y)
+        rect, depths, tiles_x, tiles_y, active_cap)
     max_tile_load = load.max() if num_tiles > 0 else jnp.int32(0)
     ks = [k for k, _ in levels]
     assert list(ks) == sorted(ks) and (not ks or ks[0] > k0)

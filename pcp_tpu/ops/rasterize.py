@@ -518,6 +518,7 @@ def rasterize(
     tile_k_lo: int = 0,
     tile_hi_cap: int = 0,
     tile_levels=(),
+    active_cap: int = 0,
     chunk: int = 64,
     tile_batch: int = None,
     means2d_offset=None,
@@ -549,7 +550,7 @@ def rasterize(
     if use_pallas and levels and tile_k_lo > 0:
         bins = bin_gaussians_levels(
             prep["rect"], prep["depths"], tiles_x, tiles_y,
-            k0=tile_k_lo, levels=levels,
+            k0=tile_k_lo, levels=levels, active_cap=active_cap,
         )
         image, final_t = composite_fused_levels(
             prep, bins, image_size, background)
@@ -557,6 +558,7 @@ def rasterize(
         bins = bin_gaussians(
             prep["rect"], prep["depths"], tiles_x, tiles_y,
             max_pairs=max_pairs, max_per_tile=max_per_tile,
+            active_cap=active_cap,
         )
         if use_pallas:
             image, final_t = composite_fused(

@@ -80,6 +80,13 @@ class OptimConfig:
     tile_k_lo: int = 0
     tile_hi_cap: int = 0
     tile_levels: str = ""
+    # static upper bound on LIVE Gaussians: binning class tables (incl. a
+    # compacted class A) scale from it instead of the slot capacity —
+    # roughly halves the expansion+sort length when alive << capacity.
+    # Auto-managed (with densify headroom) by the --max_per_tile 0
+    # re-tuner; drops are counted if the population outgrows it between
+    # re-tunes. 0 = capacity-scaled (zero-risk default).
+    active_cap: int = 0
     pairs_per_gaussian: int = 16
     min_opacity: float = 0.005
 

@@ -224,14 +224,23 @@ def train_scene(
         loads, num_tiles = _sample_loads()
         k0, levels = choose_tile_levels(loads, num_tiles)
         k_top = levels[-1][0] if levels else k0
+        # alive-scaled class tables: bound the binning expansion by the
+        # live population (densify headroom 1.5x, snapped to 64k so small
+        # drift doesn't churn recompiles); capacity-scaled when the bound
+        # wouldn't actually shrink anything.
+        n_alive = int(np.asarray(state.alive).sum())
+        cap_slots = int(state.alive.shape[0])
+        acap = -(-int(1.5 * n_alive) // 65536) * 65536
+        acap = acap if acap < cap_slots else 0
         new = _dc.replace(ocfg, max_per_tile=k_top,
                           tile_k_lo=k0 if levels else 0,
                           tile_levels=format_tile_levels(levels),
-                          tile_hi_cap=0)
+                          tile_hi_cap=0, active_cap=acap)
         if log_fn:
             log_fn(f"auto tile levels ({tag}) -> base k0 {k0}, levels "
                    f"[{new.tile_levels or '-'}] "
-                   f"(max load {int(loads.max())})")
+                   f"(max load {int(loads.max())}, active_cap "
+                   f"{acap or 'full'})")
         return new, num_tiles
 
     if auto_tiles:
@@ -269,15 +278,21 @@ def train_scene(
             }
 
     def _table_cost(oc, num_tiles):
+        from pcp_tpu.ops.binning import expansion_key_slots
         from pcp_tpu.train.config import parse_tile_levels
 
         levels = parse_tile_levels(oc.tile_levels)
         if not levels and oc.tile_hi_cap > 0:
             levels = ((oc.max_per_tile, oc.tile_hi_cap),)
         if levels and oc.tile_k_lo > 0:
-            return (num_tiles * oc.tile_k_lo
-                    + sum(k * t for k, t in levels))
-        return num_tiles * oc.max_per_tile
+            table = (num_tiles * oc.tile_k_lo
+                     + sum(k * t for k, t in levels))
+        else:
+            table = num_tiles * oc.max_per_tile
+        # the expansion (sort length) is the other capacity-scaled cost;
+        # folding it in makes an active_cap change alone recompile-worthy
+        return table + expansion_key_slots(
+            int(state.alive.shape[0]), num_tiles, oc.active_cap)
 
     from pcp_tpu.train.logging import TrainLogger
 
@@ -372,13 +387,19 @@ def train_scene(
             ema_loss = loss if it == 1 else 0.6 * ema_loss + 0.4 * loss
             now = time.time()
             n_alive = int(np.asarray(state.alive).sum())
-            if bool(metrics["overflow"]) and log_fn:
-                log_fn(
-                    f"[warn] iter {it}: tile-pair capacity overflow "
-                    f"({int(metrics['n_pairs'])} intersections > "
-                    f"pairs_per_gaussian * capacity); farthest Gaussians are "
-                    f"being dropped — raise --pairs_per_gaussian"
-                )
+            if bool(metrics["overflow"]):
+                if log_fn:
+                    log_fn(
+                        f"[warn] iter {it}: binning capacity overflow "
+                        f"({int(metrics['n_dropped'])} pairs dropped; "
+                        f"n_pairs {int(metrics['n_pairs'])}) — population "
+                        f"outgrew active_cap/class tables; raise "
+                        f"--pairs_per_gaussian if it persists after re-tune"
+                    )
+                if auto_tiles and ocfg.active_cap > 0:
+                    # population outgrew the alive-scaled bound between
+                    # re-tunes: re-tune now instead of waiting the cadence
+                    retune_at.add(it + 1)
             if bool(metrics.get("tile_saturated", False)) and log_fn:
                 log_fn(
                     f"[warn] iter {it}: per-tile saturation "

@@ -94,6 +94,7 @@ def render_gaussians(
     tile_k_lo: int = 0,
     tile_hi_cap: int = 0,
     tile_levels=(),
+    active_cap: int = 0,
     means2d_offset=None,
     tan_fov=None,
     scaling_modifier: float = 1.0,
@@ -118,6 +119,7 @@ def render_gaussians(
         tile_k_lo=tile_k_lo,
         tile_hi_cap=tile_hi_cap,
         tile_levels=tile_levels,
+        active_cap=active_cap,
         means2d_offset=means2d_offset,
         tan_fov=tan_fov,
     )
@@ -169,6 +171,7 @@ def train_step_impl(
             tile_k_lo=ocfg.tile_k_lo,
             tile_hi_cap=ocfg.tile_hi_cap,
             tile_levels=parse_tile_levels(ocfg.tile_levels),
+            active_cap=ocfg.active_cap,
             means2d_offset=probe,
         )
         if use_appearance and app is not None:

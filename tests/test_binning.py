@@ -174,3 +174,73 @@ def test_autosize_max_per_tile():
     # rects clamped to the grid edge must not overflow the diff array
     rect = np.array([[6, 6, 8, 8]], np.int32)
     assert autosize_max_per_tile([(rect, 8, 8)], chunk=128) == 128
+
+
+def test_active_cap_equivalence_with_dead_slots():
+    """Alive-scaled class tables (active_cap >= alive count) must produce
+    IDENTICAL per-tile lists to the capacity-scaled default on a padded
+    buffer where most slots are dead (zero-extent rects) — the production
+    shape after the training loop's re-tuner kicks in."""
+    rng = np.random.default_rng(7)
+    n_alive, n_total = 120, 1024
+    x0 = rng.integers(0, TX, n_alive)
+    y0 = rng.integers(0, TY, n_alive)
+    wx = rng.integers(1, TX - x0 + 1, n_alive)
+    wy = rng.integers(1, TY - y0 + 1, n_alive)
+    rect = np.zeros((n_total, 4), np.int32)
+    rect[:n_alive] = np.stack([x0, y0, x0 + wx, y0 + wy], axis=1)
+    depths = np.full(n_total, 1e9, np.float32)
+    depths[:n_alive] = rng.uniform(0.5, 50.0, n_alive)
+    b_full = _bins("v2", rect, depths, max_per_tile=256)
+    b_cap = bin_gaussians_v2(jnp.asarray(rect), jnp.asarray(depths),
+                             TX, TY, 256, active_cap=256)
+    np.testing.assert_array_equal(np.asarray(b_full.tile_count),
+                                  np.asarray(b_cap.tile_count))
+    np.testing.assert_array_equal(np.asarray(b_full.tile_gauss),
+                                  np.asarray(b_cap.tile_gauss))
+    assert int(b_cap.n_pairs) == int(b_full.n_pairs)
+    assert int(b_cap.n_dropped) == 0
+
+
+def test_active_cap_levels_equivalence():
+    """Same equivalence through the N-level builder: window contents and
+    drop accounting are unchanged by the alive-scaled expansion."""
+    from pcp_tpu.ops.binning import bin_gaussians_levels
+
+    rng = np.random.default_rng(11)
+    n_alive, n_total = 150, 2048
+    x0 = rng.integers(0, TX, n_alive)
+    y0 = rng.integers(0, TY, n_alive)
+    rect = np.zeros((n_total, 4), np.int32)
+    rect[:n_alive] = np.stack([x0, y0, x0 + 1, y0 + 1], axis=1)
+    depths = np.full(n_total, 1e9, np.float32)
+    depths[:n_alive] = rng.uniform(0.5, 50.0, n_alive)
+    kw = dict(k0=8, levels=((16, 8), (32, 4)))
+    b_full = bin_gaussians_levels(jnp.asarray(rect), jnp.asarray(depths),
+                                  TX, TY, **kw)
+    b_cap = bin_gaussians_levels(jnp.asarray(rect), jnp.asarray(depths),
+                                 TX, TY, active_cap=256, **kw)
+    np.testing.assert_array_equal(np.asarray(b_full.base),
+                                  np.asarray(b_cap.base))
+    for t_f, t_c in zip(b_full.tables, b_cap.tables):
+        np.testing.assert_array_equal(np.asarray(t_f), np.asarray(t_c))
+    for i_f, i_c in zip(b_full.ids, b_cap.ids):
+        np.testing.assert_array_equal(np.asarray(i_f), np.asarray(i_c))
+    # (the tiny k-geometry makes some tiles overflow their level and fall
+    # back to the k0-truncated base — identical drops in both modes)
+    assert int(b_cap.n_dropped) == int(b_full.n_dropped)
+
+
+def test_active_cap_overflow_is_counted():
+    """Population beyond active_cap: the excess class-A rows are dropped
+    AND counted (the re-tuner keys its emergency re-tune off this)."""
+    n = 64
+    rect = np.array([[i % TX, i // TY, i % TX + 1, i // TY + 1]
+                     for i in range(n)], np.int32) % [TX, TY, TX + 1, TY + 1]
+    rect = np.stack([rect[:, 0], rect[:, 1],
+                     rect[:, 0] + 1, rect[:, 1] + 1], axis=1).astype(np.int32)
+    depths = np.arange(1, n + 1, dtype=np.float32)
+    b = bin_gaussians_v2(jnp.asarray(rect), jnp.asarray(depths),
+                         TX, TY, 64, active_cap=48)
+    assert int(b.n_pairs) == n          # true pre-cap total still reported
+    assert int(b.n_dropped) == n - 48   # the excess is counted, not silent
