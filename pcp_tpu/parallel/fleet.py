@@ -469,8 +469,10 @@ def train_blocks_parallel(
                 background, sh_degree,
             )
 
-        if ocfg.densify_from_iter <= it <= ocfg.densify_until_iter:
-            if it % ocfg.densification_interval == 0:
+        # strict bounds, matching the reference cadence (train.py:140-152)
+        if it < ocfg.densify_until_iter:
+            if (it % ocfg.densification_interval == 0
+                    and it > ocfg.densify_from_iter):
                 key, k = jax.random.split(key)
                 keys = jax.random.split(k, b_pad)
                 fleet = densify_fn(fleet, keys, it > ocfg.opacity_reset_interval)

@@ -472,8 +472,10 @@ def train_scene_sharded(
             state, viewmat, intrin, jnp.asarray(cam.gt_image),
             jnp.int32(cam.uid), background, extent, sh_degree,
         )
-        if ocfg.densify_from_iter <= it <= ocfg.densify_until_iter:
-            if it % ocfg.densification_interval == 0:
+        # strict bounds, matching the reference cadence (train.py:140-152)
+        if it < ocfg.densify_until_iter:
+            if (it % ocfg.densification_interval == 0
+                    and it > ocfg.densify_from_iter):
                 key, dk = jax.random.split(key)
                 state = densify(state, dk, extent,
                                 it > ocfg.opacity_reset_interval)

@@ -358,9 +358,13 @@ def train_scene(
                 f"{dump}"
             )
 
-        # --- densification cadence (train.py:140-152) ---
-        if ocfg.densify_from_iter <= it <= ocfg.densify_until_iter:
-            if it % ocfg.densification_interval == 0:
+        # --- densification cadence (train.py:140-152; both bounds are
+        # STRICT in the reference — with densify_until == iterations no
+        # reset fires on the final step, so the saved model never ends
+        # on freshly-reset opacities) ---
+        if it < ocfg.densify_until_iter:
+            if (it % ocfg.densification_interval == 0
+                    and it > ocfg.densify_from_iter):
                 key, dkey = jax.random.split(key)
                 state = densify_fn(
                     state, dkey, it > ocfg.opacity_reset_interval
