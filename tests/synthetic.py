@@ -73,6 +73,7 @@ def write_synthetic_scene(
     radius: float = 5.0,
     image_ext: str = "png",
     appearance_jitter: float = 0.0,
+    appearance_field: float = 0.0,
 ):
     """Create `<out_dir>/{images/, sparse/0/*.bin}`; returns the true
     Gaussian tuple for oracle comparisons.
@@ -84,7 +85,15 @@ def write_synthetic_scene(
     (scene/ptgs/appearance_network.py:7-61; train.py:111-117 trains L1 on
     the decoupled image). The underlying radiance field stays consistent,
     so appearance-ON training should recover it and beat appearance-OFF
-    on color-corrected held-out PSNR."""
+    on color-corrected held-out PSNR.
+
+    ``appearance_field`` > 0 additionally applies a per-view LOW-FREQUENCY
+    spatial gain field (bilinear-upsampled 4x4 grid, log-uniform in
+    ±field) — vignetting / local lighting drift. A global per-view gain
+    is fully absorbed by the eval-time multinerf color fit for ANY model,
+    so it cannot separate appearance-ON from OFF; a spatial field can:
+    per-Gaussian colors cannot represent it (OFF bakes in ghosting) while
+    the reference's pixel-wise appearance CNN absorbs it in training."""
     from PIL import Image as PILImage
 
     from pcp_tpu.io import colmap
@@ -110,6 +119,20 @@ def write_synthetic_scene(
             exposure = np.exp(rng.uniform(-j, j))
             wb = np.exp(rng.uniform(-j / 2, j / 2, size=3))
             img = np.clip(img * (exposure * wb)[None, None, :], 0.0, 1.0)
+        if appearance_field > 0.0:
+            grid = np.exp(rng.uniform(-appearance_field, appearance_field,
+                                      size=(4, 4)))
+            yy = np.linspace(0, 3, H)
+            xx = np.linspace(0, 3, W)
+            y0 = np.minimum(yy.astype(int), 2)
+            x0 = np.minimum(xx.astype(int), 2)
+            fy_ = (yy - y0)[:, None]
+            fx_ = (xx - x0)[None, :]
+            g = (grid[y0][:, x0] * (1 - fy_) * (1 - fx_)
+                 + grid[y0][:, x0 + 1] * (1 - fy_) * fx_
+                 + grid[y0 + 1][:, x0] * fy_ * (1 - fx_)
+                 + grid[y0 + 1][:, x0 + 1] * fy_ * fx_)
+            img = np.clip(img * g[:, :, None], 0.0, 1.0)
         name = f"im{i:03d}.{image_ext}"
         PILImage.fromarray((img * 255).astype(np.uint8)).save(
             os.path.join(out_dir, "images", name)

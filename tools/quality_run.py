@@ -159,6 +159,7 @@ def main():
             write_synthetic_scene(
                 jscene, np.random.default_rng(11), n_points=N_POINTS,
                 n_cams=N_CAMS, W=W, H=H, appearance_jitter=0.45,
+                appearance_field=0.35,
             )
             print(f"jitter scene written: {jscene}")
         for name, app in [("jitter_appearance_on", True),
@@ -175,9 +176,12 @@ def main():
                         f"every 100, opacity reset 3000, appearance ON, "
                         f"capacity {CAPACITY}",
             "appearance_ab": f"same scene + per-view exposure/WB jitter "
-                             f"0.45 (log-uniform), {args.app_iters} iters, "
-                             f"appearance on vs off, color-corrected "
-                             f"metrics",
+                             f"0.45 + low-freq spatial gain field 0.35 "
+                             f"(vignetting analog; a purely global gain "
+                             f"is absorbed by the eval color fit for any "
+                             f"model and cannot separate the variants), "
+                             f"{args.app_iters} iters, appearance on vs "
+                             f"off, color-corrected metrics",
         },
         "runs": rows,
     }
