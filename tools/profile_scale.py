@@ -36,6 +36,9 @@ def main():
     ap.add_argument("--k", type=int, default=3712)
     ap.add_argument("--k_lo", type=int, default=0)
     ap.add_argument("--t_hi", type=int, default=0)
+    ap.add_argument("--levels", default="",
+                    help="N-level tile tables, 'k1:t1,k2:t2,...'")
+    ap.add_argument("--active_cap", type=int, default=0)
     ap.add_argument("--w", type=int, default=1280)
     ap.add_argument("--h", type=int, default=800)
     args = ap.parse_args()
@@ -48,12 +51,13 @@ def main():
     from pcp_tpu.ops import binning
     from pcp_tpu.ops.projection import TILE, preprocess
     from pcp_tpu.train import optim
-    from pcp_tpu.train.config import OptimConfig
+    from pcp_tpu.train.config import OptimConfig, parse_tile_levels
     from pcp_tpu.train.step import TrainState, make_train_step, render_gaussians
     from tools import bench_scene
 
     W, H, K = args.w, args.h, args.k
     CAPACITY = 1 << args.cap
+    levels = parse_tile_levels(args.levels)
     # scale the bench scene generator to this resolution
     bench_scene.W, bench_scene.H = W, H
     bench_scene.FX = bench_scene.FY = 850.0
@@ -65,6 +69,7 @@ def main():
     background = jnp.zeros(3)
     ocfg = OptimConfig(capacity=CAPACITY, max_per_tile=K,
                        tile_k_lo=args.k_lo, tile_hi_cap=args.t_hi,
+                       tile_levels=args.levels, active_cap=args.active_cap,
                        pairs_per_gaussian=16)
     tiles_x = (W + TILE - 1) // TILE
     tiles_y = (H + TILE - 1) // TILE
@@ -77,7 +82,10 @@ def main():
     results = {"n": args.n, "capacity": CAPACITY, "K": K,
                "k_lo": args.k_lo, "t_hi": args.t_hi, "W": W, "H": H,
                "tiles": tiles_x * tiles_y}
-    split_kw = dict(tile_k_lo=args.k_lo, tile_hi_cap=args.t_hi)
+    results["levels"] = args.levels
+    results["active_cap"] = args.active_cap
+    split_kw = dict(tile_k_lo=args.k_lo, tile_hi_cap=args.t_hi,
+                    tile_levels=levels, active_cap=args.active_cap)
 
     def timeit(name, fn, state0):
         s = fn(state0)
@@ -103,8 +111,14 @@ def main():
     # stage: binning (whole)
     @jax.jit
     def bin_fn(d):
-        b = binning.bin_gaussians(rect, d, tiles_x, tiles_y,
-                                  max_pairs=max_pairs, max_per_tile=K)
+        if levels:
+            b = binning.bin_gaussians_levels(
+                rect, d, tiles_x, tiles_y, k0=args.k_lo or K,
+                levels=levels, active_cap=args.active_cap)
+        else:
+            b = binning.bin_gaussians(rect, d, tiles_x, tiles_y,
+                                      max_pairs=max_pairs, max_per_tile=K,
+                                      active_cap=args.active_cap)
         return d + 0 * b.n_pairs.astype(d.dtype), b.n_pairs, b.max_tile_load
 
     r = timeit("binning_ms", lambda s: bin_fn(s[0] if isinstance(s, tuple) else s), depths)
@@ -139,11 +153,8 @@ def main():
     results["key_slots_A"] = int(key_a.shape[0])
 
     # binning sub-stage: the sort alone at full v2 slot count
-    cap_b = max(rect.shape[0] // CAPB_DIV, 32)
-    cap_c = max(rect.shape[0] // CAPC_DIV, 16)
-    cap_d = max(rect.shape[0] // CAPD_DIV, 8)
-    total_slots = (rect.shape[0] * R1 + cap_b * R2 + cap_c * R3
-                   + cap_d * num_tiles)
+    total_slots = binning.expansion_key_slots(rect.shape[0], num_tiles,
+                                              args.active_cap)
     results["key_slots_total"] = int(total_slots)
     keys0 = jnp.asarray(
         np.random.default_rng(1).integers(0, 2**32, total_slots,

@@ -59,6 +59,30 @@ CAPACITY_CONTROL = 1 << 20
 LLFFHOLD = 16
 
 
+def spectral_colors(xyz, rng, n_freq=48):
+    """Natural-image-like colors: a pink-spectrum mixture of random 3D
+    sinusoids, wavelengths log-spaced from ~the slab down to ~4 px at the
+    camera distance. Gradient-guided densification (the mechanism under
+    test) needs GT with structure at ALL scales — uniform-random per-splat
+    colors are white noise that photometric gradients cannot chase (the
+    round-3 scale run collapsed 719k -> 15k alive on such a target)."""
+    wavelengths = np.geomspace(24.0, 0.10, n_freq)
+    freqs = (2 * np.pi / wavelengths)[:, None] * rng.normal(
+        size=(n_freq, 3)).astype(np.float32)
+    freqs /= np.linalg.norm(freqs / (2 * np.pi / wavelengths)[:, None],
+                            axis=1, keepdims=True)
+    phases = rng.uniform(0, 2 * np.pi, (n_freq, 1)).astype(np.float32)
+    # pink-ish spectrum: amplitude ~ wavelength^0.45, normalized later
+    amps = (wavelengths ** 0.45).astype(np.float32)
+    mix = rng.normal(size=(n_freq, 3)).astype(np.float32) * amps[:, None]
+    acc = np.zeros((xyz.shape[0], 3), np.float32)
+    for k in range(n_freq):  # loop keeps peak memory ~ n x 3
+        s = np.sin(xyz @ freqs[k] + phases[k])
+        acc += s[:, None] * mix[k]
+    acc /= 2.5 * np.std(acc)
+    return np.clip(0.5 + acc, 0.02, 0.98).astype(np.float32)
+
+
 def make_true_cloud(rng):
     """Fine detail inside the DETAIL disc + coarse splats elsewhere."""
     # fine: sigma ~ 2 px at the ~20-unit camera distance
@@ -78,7 +102,7 @@ def make_true_cloud(rng):
     scales = np.concatenate([fine_scales, coarse_scales]).astype(np.float32)
     scales *= np.exp(rng.uniform(-0.3, 0.3, scales.shape)).astype(np.float32)
     n = xyz.shape[0]
-    rgb = rng.uniform(0.05, 0.95, (n, 3)).astype(np.float32)
+    rgb = spectral_colors(xyz, rng)
     quats = rng.normal(size=(n, 4)).astype(np.float32)
     op = rng.uniform(0.55, 0.95, n).astype(np.float32)
     return xyz, rgb, scales, quats, op
@@ -146,7 +170,7 @@ def phase_scene(root, rng):
 
     render = jax.jit(lambda vm: rasterize(
         xyz_j, scales_j, quats_j, op_j, sh, vm, intrin, (W, H), bg, 0,
-        max_per_tile=2048)[0])
+        max_per_tile=4096)[0])
 
     cams = {1: colmap.Camera(1, "PINHOLE", W, H,
                              np.array([FX, FY, W / 2, H / 2]))}
@@ -169,12 +193,17 @@ def phase_scene(root, rng):
         if i % 20 == 0:
             print(f"  gt view {i} ({time.time() - t0:.0f}s)")
 
-    # SfM sparse cloud: uniform over the slab (partition balance), colored
-    sfm_xyz = np.concatenate([
-        rng.uniform(-SLAB, SLAB, (N_SFM, 2)),
-        rng.uniform(0.0, 3.0, (N_SFM, 1)),
-    ], 1).astype(np.float32)
-    sfm_rgb = (rng.uniform(0.05, 0.95, (N_SFM, 3)) * 255).astype(np.uint8)
+    # SfM sparse cloud: real COLMAP output lies ON surfaces and carries
+    # photometric colors — sample the true cloud with jitter, colors =
+    # true color + noise. (A uniform-random cloud with random colors is
+    # ~all genuinely useless to the optimizer: the round-3 scale run
+    # mass-extincted 719k of them at the first opacity reset.)
+    pick = rng.integers(0, xyz.shape[0], N_SFM)
+    sfm_xyz = (xyz[pick]
+               + rng.normal(0, 0.05, (N_SFM, 3))).astype(np.float32)
+    sfm_rgb = np.clip(
+        rgb[pick] + rng.normal(0, 0.04, (N_SFM, 3)), 0, 1)
+    sfm_rgb = (sfm_rgb * 255).astype(np.uint8)
     pts = colmap.Points3D.from_arrays(sfm_xyz, sfm_rgb)
     colmap.write_model(cams, imgs, pts, os.path.join(root, "sparse", "0"),
                        ext=".bin")
@@ -229,9 +258,11 @@ def _train_block(root, block_id, out_name, iters, densify, capacity,
     if ckpt_iters:
         argv += ["--checkpoint_iterations", *[str(i) for i in ckpt_iters]]
     if densify:
-        argv += ["--densify_from_iter", "1000",
-                 "--densify_until_iter", str(iters),
-                 "--densification_interval", "200",
+        # the reference cadence (arguments/__init__.py:96-99): densify
+        # 500..15000 every 100; population then frozen for pure refinement
+        argv += ["--densify_from_iter", "500",
+                 "--densify_until_iter", str(min(15_000, iters)),
+                 "--densification_interval", "100",
                  "--opacity_reset_interval", "3000"]
     else:
         argv += ["--densify_from_iter", str(10 * iters)]
@@ -309,7 +340,7 @@ def phase_eval(root, block_id, variants, out_json):
         rot_j = jnp.asarray(g["rotation"])
         render = jax.jit(lambda vm, intr: rasterize(
             xyz_j, scales_a, rot_j, op_a, sh,
-            vm, intr, (W, H), jnp.zeros(3), 3, max_per_tile=2048)[0])
+            vm, intr, (W, H), jnp.zeros(3), 3, max_per_tile=4096)[0])
         renders, gts = [], []
         for cam in test_cams:
             vm, intr = cam_mod.camera_device_arrays(cam)
