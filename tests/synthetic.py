@@ -74,6 +74,7 @@ def write_synthetic_scene(
     image_ext: str = "png",
     appearance_jitter: float = 0.0,
     appearance_field: float = 0.0,
+    jitter_holdout: int = 0,
 ):
     """Create `<out_dir>/{images/, sparse/0/*.bin}`; returns the true
     Gaussian tuple for oracle comparisons.
@@ -114,12 +115,20 @@ def write_synthetic_scene(
         )
         R, t = look_at_w2c(pos, (0.0, 0.0, 0.0))
         img = render_true_scene(xyz, rgb, scales, quats, opac, R, t, fx, fy, W, H)
-        if appearance_jitter > 0.0:
+        # ``jitter_holdout`` > 0: every holdout-th view (the llffhold eval
+        # split convention) stays CLEAN. The appearance net exists to keep
+        # per-view capture variation out of the radiance field
+        # (appearance_network.py:7-17); a held-out view's jitter is
+        # unpredictable noise for ANY model, so scoring against jittered
+        # test GT measures luck, not decoupling — scoring against the
+        # clean field measures exactly the quantity the net protects.
+        clean = jitter_holdout > 0 and i % jitter_holdout == 0
+        if appearance_jitter > 0.0 and not clean:
             j = appearance_jitter
             exposure = np.exp(rng.uniform(-j, j))
             wb = np.exp(rng.uniform(-j / 2, j / 2, size=3))
             img = np.clip(img * (exposure * wb)[None, None, :], 0.0, 1.0)
-        if appearance_field > 0.0:
+        if appearance_field > 0.0 and not clean:
             grid = np.exp(rng.uniform(-appearance_field, appearance_field,
                                       size=(4, 4)))
             yy = np.linspace(0, 3, H)

@@ -107,10 +107,12 @@ def main():
                 max_per_tile=256)
             img = np.clip(np.asarray(img), 0, 1)
             t_img = true_image(cam)
-            raw_psnr.append(float(psnr(jnp.asarray(img), jnp.asarray(t_img))))
+            raw_psnr.append(float(psnr(jnp.asarray(img)[None],
+                                       jnp.asarray(t_img)[None])[0]))
             ccr = np.clip(np.asarray(color_correct(
                 jnp.asarray(img), jnp.asarray(t_img))), 0, 1)
-            cc_psnr.append(float(psnr(jnp.asarray(ccr), jnp.asarray(t_img))))
+            cc_psnr.append(float(psnr(jnp.asarray(ccr)[None],
+                                      jnp.asarray(t_img)[None])[0]))
         results[use_app] = (float(np.mean(raw_psnr)),
                             float(np.mean(cc_psnr)))
         print(f"appearance={'ON ' if use_app else 'OFF'} vs TRUE images: "

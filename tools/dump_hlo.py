@@ -23,13 +23,33 @@ def main():
     from pcp_tpu.train import optim
     from pcp_tpu.train.config import OptimConfig
     from pcp_tpu.train.step import TrainState, make_train_step
-    from tools.bench_scene import CAPACITY, H, MAX_PER_TILE, W, camera, \
-        make_scene
+    import argparse
 
-    max_per_tile = int(sys.argv[1]) if len(sys.argv) > 1 else MAX_PER_TILE
+    from tools import bench_scene
+    from tools.bench_scene import MAX_PER_TILE
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("k_pos", nargs="?", type=int, default=MAX_PER_TILE)
+    ap.add_argument("--n", type=int, default=0)
+    ap.add_argument("--cap", type=int, default=0)
+    ap.add_argument("--k_lo", type=int, default=0)
+    ap.add_argument("--t_hi", type=int, default=0)
+    ap.add_argument("--levels", default="")
+    ap.add_argument("--active_cap", type=int, default=0)
+    ap.add_argument("--w", type=int, default=0)
+    ap.add_argument("--h", type=int, default=0)
+    args = ap.parse_args()
+    max_per_tile = args.k_pos
+    if args.w:
+        bench_scene.W, bench_scene.H = args.w, args.h
+        bench_scene.FX = bench_scene.FY = 850.0
+    W, H = bench_scene.W, bench_scene.H
+    CAPACITY = (1 << args.cap) if args.cap else bench_scene.CAPACITY
+
     rng = np.random.default_rng(0)
-    params, alive = make_scene(rng)
-    viewmat, intrin = camera()
+    mk = dict(n_points=args.n, capacity=CAPACITY) if args.n else {}
+    params, alive = bench_scene.make_scene(rng, **mk)
+    viewmat, intrin = bench_scene.camera()
     app = init_appearance(jax.random.PRNGKey(0), (W, H))
     state = TrainState(
         params=params, app=app, opt_g=optim.init_adam(params),
@@ -37,6 +57,8 @@ def main():
         stats=G.init_densify_stats(CAPACITY),
     )
     ocfg = OptimConfig(capacity=CAPACITY, max_per_tile=max_per_tile,
+                       tile_k_lo=args.k_lo, tile_hi_cap=args.t_hi,
+                       tile_levels=args.levels, active_cap=args.active_cap,
                        pairs_per_gaussian=16)
     step = make_train_step(ocfg, (W, H), 30.0, use_appearance=True)
     gt = jnp.asarray(rng.uniform(0, 1, (H, W, 3)).astype(np.float32))

@@ -159,7 +159,7 @@ def main():
             write_synthetic_scene(
                 jscene, np.random.default_rng(11), n_points=N_POINTS,
                 n_cams=N_CAMS, W=W, H=H, appearance_jitter=0.45,
-                appearance_field=0.35,
+                appearance_field=0.35, jitter_holdout=LLFFHOLD,
             )
             print(f"jitter scene written: {jscene}")
         for name, app in [("jitter_appearance_on", True),
@@ -177,15 +177,26 @@ def main():
                         f"capacity {CAPACITY}",
             "appearance_ab": f"same scene + per-view exposure/WB jitter "
                              f"0.45 + low-freq spatial gain field 0.35 "
-                             f"(vignetting analog; a purely global gain "
-                             f"is absorbed by the eval color fit for any "
-                             f"model and cannot separate the variants), "
-                             f"{args.app_iters} iters, appearance on vs "
-                             f"off, color-corrected metrics",
+                             f"(vignetting analog) on TRAIN views; held-out "
+                             f"views stay clean (a test view's jitter is "
+                             f"unpredictable noise for any model — scoring "
+                             f"against the clean field measures the "
+                             f"radiance-field recovery the appearance net "
+                             f"exists to protect), {args.app_iters} iters, "
+                             f"appearance on vs off, color-corrected "
+                             f"metrics",
         },
         "runs": rows,
     }
-    with open(os.path.join(REPO, "QUALITY_r03_small.json"), "w") as f:
+    # a --skip_* rerun refreshes only its own variants; keep the rest
+    art = os.path.join(REPO, "QUALITY_r03_small.json")
+    if os.path.exists(art) and (args.skip_densify_pair
+                                or args.skip_appearance_pair):
+        prev = json.load(open(art))
+        fresh = {r["variant"] for r in rows}
+        out["runs"] = ([r for r in prev.get("runs", [])
+                        if r["variant"] not in fresh] + rows)
+    with open(art, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out))
 
