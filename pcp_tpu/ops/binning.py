@@ -78,10 +78,11 @@ def bin_gaussians(
     max_pairs: int,
     max_per_tile: int,
     active_cap: int = 0,
+    pair_levels=(),
 ) -> TileBins:
     if BINNING_VERSION == "v2":
         return bin_gaussians_v2(rect, depths, tiles_x, tiles_y, max_per_tile,
-                                active_cap)
+                                active_cap, pair_levels)
     return _bin_gaussians_v1(rect, depths, tiles_x, tiles_y, max_pairs,
                              max_per_tile)
 
@@ -327,18 +328,76 @@ def autosize_max_per_tile(rects_and_grids, chunk=None, headroom=1.6,
     return int(min(k, cap))
 
 
-def expansion_key_slots(n: int, num_tiles: int, active_cap: int = 0) -> int:
+def expansion_key_slots(n: int, num_tiles: int, active_cap: int = 0,
+                        pair_levels=()) -> int:
     """Static key-slot count of _expand_sort_v2's expansion — i.e. the
     sort length the capacity side of binning pays. The training loop's
     re-tuner folds this into its table-cost comparison so a changed
-    ``active_cap`` (alive-scaled class tables) triggers a recompile the
-    same way changed tile-level geometry does."""
+    ``active_cap`` (alive-scaled class tables) or ``pair_levels`` spec
+    triggers a recompile the same way changed tile-level geometry does."""
     nb = min(n, active_cap) if 0 < active_cap else n
+    if pair_levels:
+        cap_d = max(nb // CAPD_DIV, 8)
+        return (sum(r * c for r, c in pair_levels) + cap_d * num_tiles)
     cap_b = max(nb // CAPB_DIV, 32)
     cap_c = max(nb // CAPC_DIV, 16)
     cap_d = max(nb // CAPD_DIV, 8)
     a_rows = nb if 0 < nb < n else n          # class A compacts iff scaled
     return a_rows * R1 + cap_b * R2 + cap_c * R3 + cap_d * num_tiles
+
+
+# Footprint-band boundaries for the data-driven pair-expansion ladder:
+# per-Gaussian tile footprints in a trained scene are overwhelmingly 1-6
+# tiles, so a uniform 16-slot row per alive Gaussian (legacy class A)
+# expands ~10x more sort keys than there are pairs at the reference
+# operating point. Bands between these bounds get their own row width
+# and a measured population cap.
+PAIR_BOUNDS = (4, 8, 16, 32, 64, 128, 256, 512)
+
+
+def footprint_band_counts_device(rect, bounds=PAIR_BOUNDS):
+    """Per-band counts of per-Gaussian tile footprints, ON DEVICE
+    (jittable): returns (len(bounds) + 1,) int32 — counts in
+    (0, b1], (b1, b2], ..., (bm, inf). Culled rows (empty rects) land in
+    no band."""
+    wx = jnp.maximum(rect[:, 2] - rect[:, 0], 0)
+    wy = jnp.maximum(rect[:, 3] - rect[:, 1], 0)
+    c = wx * wy
+    edges = jnp.asarray((0,) + tuple(bounds), jnp.int32)
+    band = jnp.searchsorted(edges, c, side="left")   # 0 = culled
+    return jnp.zeros((len(bounds) + 2,), jnp.int32).at[band].add(
+        jnp.int32(1))[1:]
+
+
+def choose_pair_levels(band_counts, bounds=PAIR_BOUNDS, headroom=1.3,
+                       drift=0.08, quantum=1024):
+    """Pick the pair-expansion ladder ((r_i, cap_i), ...) from measured
+    per-view footprint band counts (views, len(bounds)+1; the last column
+    is the beyond-last-bound population, which stays in the legacy
+    num_tiles-wide safety class).
+
+    Same sizing contract as choose_tile_levels: caps come from DISJOINT
+    measured bands, drift between the training loop's re-tunes is covered
+    by ``headroom`` on the own-band population plus a ``drift`` fraction
+    of the neighbor bands (footprints migrate at most one band per retune
+    interval in practice), and an overflow anyway is counted in n_dropped
+    which schedules a reactive re-tune. Empty interior bands are elided —
+    their range merges into the next wider band."""
+    import numpy as np
+
+    band_counts = np.asarray(band_counts)
+    n_band = band_counts[:, :len(bounds)].max(axis=0)
+    levels = []
+    for j, r in enumerate(bounds):
+        lower = int(n_band[j - 1]) if j > 0 else 0
+        upper = int(n_band[j + 1]) if j + 1 < len(bounds) else int(
+            band_counts[:, len(bounds)].max())
+        if n_band[j] == 0 and j + 1 < len(bounds):
+            continue
+        n_at = int(headroom * n_band[j]) + int(drift * (lower + upper))
+        cap = max(int(-(-(n_at + 64) // quantum)) * quantum, quantum)
+        levels.append((int(r), cap))
+    return tuple(levels)
 
 
 def tile_loads_device(rect, tiles_x, tiles_y):
@@ -399,20 +458,32 @@ def choose_tile_classes(loads, num_tiles, chunk=None, headroom=1.6,
 
 
 def choose_tile_levels(loads, num_tiles, chunk=None, headroom=1.6,
-                       band_headroom=1.2, floor=128, cap=4096):
+                       drift=0.25, floor=128, cap=4096):
     """Pick a multi-level table geometry from measured per-tile loads
-    (views, tiles): a dense base at k0 plus compact doubling levels up to
-    k_top = headroom * max load.
+    (views, tiles): a dense base at k0 plus compact ~1.5x-step levels up
+    to k_top = headroom * max load.
 
-    Broad load distributions (real blocks: init p50 960 / p99 2119 over
-    4000 tiles) defeat a two-level split; doubling levels bound total
-    slots by ~1.5-2x the true pair count for ANY distribution shape.
-    Level capacities are sized at 1.5x the worst-case view count of tiles
-    whose load sits within ``band_headroom`` of the level's band (loads
-    drift between the training loop's re-tunes; band_headroom is tighter
-    than the k_top headroom because the retune cadence bounds the drift),
-    TB-rounded. Returns (k0, ((k_i, t_i), ...)); () levels = single
-    table."""
+    Every composite-path cost runs ~20 ns per STATIC table slot, so the
+    sizing policy IS the step time at scale. Two rules keep total slots
+    tracking the true pair count instead of multiples of it:
+
+    * capacities come from DISJOINT load bands (prev, k]. The previous
+      both-ways band widening double-booked any load near a boundary
+      into two levels — at the reference operating point (4000 tiles,
+      loads straddling the 1024 boundary) that was 13M slots for ~3.8M
+      pairs. Drift between the training loop's re-tunes is covered by a
+      ``drift`` fraction of the NEIGHBOR bands' populations instead (a
+      tile can only enter this level from the band just below or just
+      above), plus 2*TB absolute slack. A tile that outruns its level's
+      capacity anyway falls back to the k0 base truncated and is counted
+      in n_dropped, which triggers a reactive re-tune within 100 iters —
+      the same converge-by-reacting contract as the CUDA rasterizer's
+      buffer resizing (rasterizer_impl.cu:155-194).
+    * ~1.5x k steps (chunk-rounded) instead of doubling: worst-case
+      intra-level padding drops from 2x to 1.5x. Bands measured empty
+      are elided (their neighbors' drift margins still carry slack).
+
+    Returns (k0, ((k_i, t_i), ...)); () levels = single table."""
     import numpy as np
 
     from pcp_tpu.ops import pallas_composite as pc
@@ -429,26 +500,34 @@ def choose_tile_levels(loads, num_tiles, chunk=None, headroom=1.6,
         return k_top, ()
 
     ks = []
-    k = 2 * k0
-    while k < k_top:
+    k = k0
+    while True:
+        k = int(-(-(k * 3) // (2 * chunk))) * chunk   # ceil(1.5x) to chunk
+        if k >= k_top:
+            ks.append(k_top)
+            break
         ks.append(k)
-        k *= 2
-    ks.append(k_top)
+
+    # worst-case-over-views count of tiles in each disjoint band
+    bounds = [k0] + ks
+    n_band = []
+    for j, k in enumerate(ks):
+        lo = loads > bounds[j]
+        in_band = lo if j == len(ks) - 1 else lo & (loads <= k)
+        n_band.append(int(in_band.sum(axis=1).max()))
+    # the band just below level 0 feeds rising tiles into it
+    n_below = int(((loads > (2 * k0) // 3) & (loads <= k0))
+                  .sum(axis=1).max())
 
     levels = []
-    prev = k0
     for j, k in enumerate(ks):
-        # tiles that could land IN this level after load drift: band edges
-        # widened by band_headroom both ways (tiles rise into the level
-        # from below AND fall into it from above between re-tunes)
-        lo_b = loads > prev / band_headroom
-        in_band = lo_b if j == len(ks) - 1 else lo_b & (
-            loads <= k * band_headroom)
-        n_at = int(in_band.sum(axis=1).max()) + 2 * tb   # small abs slack
-        t_cap = int(-(-n_at // tb)) * tb
-        t_cap = min(t_cap, num_tiles)
+        lower = n_band[j - 1] if j > 0 else n_below
+        upper = n_band[j + 1] if j + 1 < len(ks) else 0
+        if n_band[j] == 0 and j + 1 < len(ks):
+            continue                       # elide empty interior bands
+        n_at = n_band[j] + int(drift * (lower + upper)) + 2 * tb
+        t_cap = min(int(-(-n_at // tb)) * tb, num_tiles)
         levels.append((k, t_cap))
-        prev = k
     return k0, tuple(levels)
 
 
@@ -533,7 +612,8 @@ def _compact_classes(masks_caps, n):
     return out
 
 
-def _expand_sort_v2(rect, depths, tiles_x, tiles_y, active_cap=0):
+def _expand_sort_v2(rect, depths, tiles_x, tiles_y, active_cap=0,
+                    pair_levels=()):
     """The v2 class-table expansion + [tile|depth] sort, shared by the
     single-table and multi-level window builders.
 
@@ -545,6 +625,14 @@ def _expand_sort_v2(rect, depths, tiles_x, tiles_y, active_cap=0):
     loop re-tunes it with the tile-level geometry (drops are counted if
     the population outgrows it between re-tunes). 0 = full capacity.
 
+    ``pair_levels`` ((r_i, cap_i), ... from choose_pair_levels): replaces
+    the static class geometry with measured footprint bands — band i
+    holds Gaussians with footprint in (r_{i-1}, r_i] in a (cap_i, r_i)
+    compact table. The legacy uniform-16-slots class A expands ~10x more
+    sort keys than true pairs at the reference operating point; measured
+    bands track the footprint distribution instead. A num_tiles-wide
+    safety class always catches footprints beyond the last bound.
+
     Returns (s_pay sorted Gaussian ids, starts, load, total, drops)."""
     n = rect.shape[0]
     num_tiles = tiles_x * tiles_y
@@ -552,9 +640,6 @@ def _expand_sort_v2(rect, depths, tiles_x, tiles_y, active_cap=0):
     depth_bits = 32 - tile_bits
     assert tile_bits <= 16, f"{num_tiles} tiles won't fit the packed key"
     nb = min(n, active_cap) if active_cap > 0 else n
-    cap_b = max(nb // CAPB_DIV, 32)
-    cap_c = max(nb // CAPC_DIV, 16)
-
     cap_d = max(nb // CAPD_DIV, 8)
 
     x0, y0 = rect[:, 0], rect[:, 1]
@@ -569,25 +654,38 @@ def _expand_sort_v2(rect, depths, tiles_x, tiles_y, active_cap=0):
 
     gid_all = jnp.arange(n, dtype=jnp.int32)
 
-    class_specs = [((counts > R1) & (counts <= R2), cap_b, R2),
-                   ((counts > R2) & (counts <= R3), cap_c, R3),
-                   # class D: footprints beyond R3 get rows as wide as the
-                   # whole tile grid (a footprint cannot exceed num_tiles),
-                   # so nothing is ever truncated; the table is tiny
-                   # because such splats are vanishingly rare in any scene
-                   # that survives densify/prune.
-                   (counts > R3, cap_d, num_tiles)]
-    if 0 < nb < n:
-        # alive-scaled mode: class A compacts too (dead slots emit no
-        # sentinel rows; counts==0 rows never enter any table)
-        class_specs.insert(
-            0, ((counts > 0) & (counts <= R1), nb, R1))
-        key_a = pay_a = None
+    key_a = pay_a = None
+    if pair_levels:
+        rs = [r for r, _ in pair_levels]
+        assert rs == sorted(rs) and rs[0] > 0
+        class_specs = []
+        prev = 0
+        for r, cap in pair_levels:
+            class_specs.append(
+                ((counts > prev) & (counts <= r), int(cap), int(r)))
+            prev = r
+        class_specs.append((counts > prev, cap_d, num_tiles))
     else:
-        # class A: dense rows, footprint <= R1 (zero-risk default)
-        counts_a = jnp.where(counts <= R1, counts, 0)
-        key_a, pay_a = _expand_rows(x0, y0, wx, dq, gid_all, counts_a, R1,
-                                    tiles_x, depth_bits)
+        cap_b = max(nb // CAPB_DIV, 32)
+        cap_c = max(nb // CAPC_DIV, 16)
+        class_specs = [((counts > R1) & (counts <= R2), cap_b, R2),
+                       ((counts > R2) & (counts <= R3), cap_c, R3),
+                       # class D: footprints beyond R3 get rows as wide as
+                       # the whole tile grid (a footprint cannot exceed
+                       # num_tiles), so nothing is ever truncated; the
+                       # table is tiny because such splats are vanishingly
+                       # rare in any scene that survives densify/prune.
+                       (counts > R3, cap_d, num_tiles)]
+        if 0 < nb < n:
+            # alive-scaled mode: class A compacts too (dead slots emit no
+            # sentinel rows; counts==0 rows never enter any table)
+            class_specs.insert(
+                0, ((counts > 0) & (counts <= R1), nb, R1))
+        else:
+            # class A: dense rows, footprint <= R1 (zero-risk default)
+            counts_a = jnp.where(counts <= R1, counts, 0)
+            key_a, pay_a = _expand_rows(x0, y0, wx, dq, gid_all, counts_a,
+                                        R1, tiles_x, depth_bits)
 
     compacted = _compact_classes(
         [(m, cap) for m, cap, _ in class_specs], n)
@@ -633,10 +731,11 @@ def bin_gaussians_v2(
     tiles_y: int,
     max_per_tile: int,
     active_cap: int = 0,
+    pair_levels=(),
 ) -> TileBins:
     num_tiles = tiles_x * tiles_y
     s_pay, starts, load, total, dropped = _expand_sort_v2(
-        rect, depths, tiles_x, tiles_y, active_cap)
+        rect, depths, tiles_x, tiles_y, active_cap, pair_levels)
     max_tile_load = load.max() if num_tiles > 0 else jnp.int32(0)
     tile_count = jnp.minimum(load, max_per_tile)
 
@@ -718,13 +817,14 @@ def bin_gaussians_levels(
     k0: int,
     levels,                   # sequence of (k_i, t_i), k_i strictly rising
     active_cap: int = 0,
+    pair_levels=(),
 ) -> TileBinsLevels:
     """N-level binning (see TileBinsLevels). All windows cut from ONE
     expand+sort; a tile lives in the smallest level whose k covers its
     load (level capacities permitting)."""
     num_tiles = tiles_x * tiles_y
     s_pay, starts, load, total, dropped = _expand_sort_v2(
-        rect, depths, tiles_x, tiles_y, active_cap)
+        rect, depths, tiles_x, tiles_y, active_cap, pair_levels)
     max_tile_load = load.max() if num_tiles > 0 else jnp.int32(0)
     ks = [k for k, _ in levels]
     assert list(ks) == sorted(ks) and (not ks or ks[0] > k0)

@@ -519,6 +519,7 @@ def rasterize(
     tile_hi_cap: int = 0,
     tile_levels=(),
     active_cap: int = 0,
+    pair_levels=(),
     chunk: int = 64,
     tile_batch: int = None,
     means2d_offset=None,
@@ -551,6 +552,7 @@ def rasterize(
         bins = bin_gaussians_levels(
             prep["rect"], prep["depths"], tiles_x, tiles_y,
             k0=tile_k_lo, levels=levels, active_cap=active_cap,
+            pair_levels=pair_levels,
         )
         image, final_t = composite_fused_levels(
             prep, bins, image_size, background)
@@ -558,7 +560,7 @@ def rasterize(
         bins = bin_gaussians(
             prep["rect"], prep["depths"], tiles_x, tiles_y,
             max_pairs=max_pairs, max_per_tile=max_per_tile,
-            active_cap=active_cap,
+            active_cap=active_cap, pair_levels=pair_levels,
         )
         if use_pallas:
             image, final_t = composite_fused(

@@ -88,6 +88,12 @@ class OptimConfig:
     # re-tunes. 0 = capacity-scaled (zero-risk default).
     active_cap: int = 0
     pairs_per_gaussian: int = 16
+    # data-driven pair-expansion ladder "r1:c1,r2:c2,...": footprint band
+    # (r_{i-1}, r_i] expands in a (c_i, r_i) compact table instead of the
+    # static class geometry (binning.choose_pair_levels). Auto-managed by
+    # the --max_per_tile 0 re-tuner from measured footprint histograms;
+    # "" = legacy static classes.
+    pair_levels: str = ""
     min_opacity: float = 0.005
 
 

@@ -182,9 +182,11 @@ def train_scene(
     auto_tiles = ocfg.max_per_tile == 0
 
     def _sample_loads():
-        """Per-tile loads on 8 sample views of the CURRENT state, computed
-        on device — only (num_tiles,) ints cross the host link."""
-        from pcp_tpu.ops.binning import tile_loads_device
+        """Per-tile loads + footprint band counts on 8 sample views of the
+        CURRENT state, computed on device — only (num_tiles,) +
+        (n_bands,) ints cross the host link."""
+        from pcp_tpu.ops.binning import (footprint_band_counts_device,
+                                         tile_loads_device)
         from pcp_tpu.ops.projection import TILE as _TILE
         from pcp_tpu.ops.projection import preprocess as _preprocess
 
@@ -196,32 +198,35 @@ def train_scene(
                       * alive.astype(jnp.float32))
             prep_s = _preprocess(xyz, scales_a, rotation, opac_a, sh_a,
                                  viewmat_s, intrin_s, wh, deg)
-            return tile_loads_device(prep_s["rect"], tx, ty)
+            return (tile_loads_device(prep_s["rect"], tx, ty),
+                    footprint_band_counts_device(prep_s["rect"]))
 
         sample = cams[:: max(1, len(cams) // 8)][:8]
         sh_a = G.sh_coeffs(state.params)
-        out = []
+        out, bands = [], []
         for cam in sample:
             viewmat_s, intrin_s = cam_mod.camera_device_arrays(cam)
             tx = (cam.width + _TILE - 1) // _TILE
             ty = (cam.height + _TILE - 1) // _TILE
-            out.append(np.asarray(loads_fn(
+            ld, bc = loads_fn(
                 state.params["xyz"], state.params["scaling"],
                 state.params["rotation"], state.params["opacity"],
                 state.alive, sh_a, viewmat_s, intrin_s,
-                (cam.width, cam.height), cfg.model.sh_degree, tx, ty)))
+                (cam.width, cam.height), cfg.model.sh_degree, tx, ty)
+            out.append(np.asarray(ld))
+            bands.append(np.asarray(bc))
         num_tiles = max(a.shape[0] for a in out)
         loads = np.stack([np.pad(a, (0, num_tiles - a.shape[0]))
                           for a in out])
-        return loads, num_tiles
+        return loads, num_tiles, np.stack(bands)
 
     def _autosize(tag):
         import dataclasses as _dc
 
-        from pcp_tpu.ops.binning import choose_tile_levels
+        from pcp_tpu.ops.binning import choose_pair_levels, choose_tile_levels
         from pcp_tpu.train.config import format_tile_levels
 
-        loads, num_tiles = _sample_loads()
+        loads, num_tiles, band_counts = _sample_loads()
         k0, levels = choose_tile_levels(loads, num_tiles)
         k_top = levels[-1][0] if levels else k0
         # alive-scaled class tables: bound the binning expansion by the
@@ -232,15 +237,18 @@ def train_scene(
         cap_slots = int(state.alive.shape[0])
         acap = -(-int(1.5 * n_alive) // 65536) * 65536
         acap = acap if acap < cap_slots else 0
+        plv = choose_pair_levels(band_counts)
         new = _dc.replace(ocfg, max_per_tile=k_top,
                           tile_k_lo=k0 if levels else 0,
                           tile_levels=format_tile_levels(levels),
-                          tile_hi_cap=0, active_cap=acap)
+                          tile_hi_cap=0, active_cap=acap,
+                          pair_levels=format_tile_levels(plv))
         if log_fn:
             log_fn(f"auto tile levels ({tag}) -> base k0 {k0}, levels "
                    f"[{new.tile_levels or '-'}] "
                    f"(max load {int(loads.max())}, active_cap "
-                   f"{acap or 'full'})")
+                   f"{acap or 'full'}, pair bands "
+                   f"[{new.pair_levels or '-'}])")
         return new, num_tiles
 
     if auto_tiles:
@@ -267,6 +275,7 @@ def train_scene(
     # step only when the slot cost moves >20% or the max load outgrows
     # the current k_hi.
     retune_at = set()
+    force_retune = set()
     if auto_tiles:
         import os as _os
 
@@ -292,7 +301,8 @@ def train_scene(
         # the expansion (sort length) is the other capacity-scaled cost;
         # folding it in makes an active_cap change alone recompile-worthy
         return table + expansion_key_slots(
-            int(state.alive.shape[0]), num_tiles, oc.active_cap)
+            int(state.alive.shape[0]), num_tiles, oc.active_cap,
+            parse_tile_levels(oc.pair_levels))
 
     from pcp_tpu.train.logging import TrainLogger
 
@@ -378,8 +388,13 @@ def train_scene(
             new_ocfg, num_tiles = _autosize(f"iter {it}")
             cur_cost = _table_cost(ocfg, num_tiles)
             new_cost = _table_cost(new_ocfg, num_tiles)
-            if (abs(new_cost - cur_cost) > 0.2 * max(cur_cost, 1)
-                    or new_ocfg.max_per_tile > ocfg.max_per_tile):
+            # reactive re-tunes (scheduled by an overflow warning) adopt
+            # any changed geometry: the 20% cost hysteresis exists to
+            # avoid recompile churn, not to ride out known drops
+            if (new_ocfg != ocfg and (
+                    it in force_retune
+                    or abs(new_cost - cur_cost) > 0.2 * max(cur_cost, 1)
+                    or new_ocfg.max_per_tile > ocfg.max_per_tile)):
                 ocfg = new_ocfg
                 step_fns = _build_steps(ocfg)
                 if log_fn:
@@ -404,13 +419,20 @@ def train_scene(
                     # population outgrew the alive-scaled bound between
                     # re-tunes: re-tune now instead of waiting the cadence
                     retune_at.add(it + 1)
-            if bool(metrics.get("tile_saturated", False)) and log_fn:
-                log_fn(
-                    f"[warn] iter {it}: per-tile saturation "
-                    f"(densest tile holds {int(metrics['max_tile_load'])} "
-                    f"Gaussians > max_per_tile={ocfg.max_per_tile}); farthest "
-                    f"are dropped in dense tiles — raise --max_per_tile"
-                )
+                    force_retune.add(it + 1)
+            if bool(metrics.get("tile_saturated", False)):
+                if log_fn:
+                    log_fn(
+                        f"[warn] iter {it}: per-tile saturation "
+                        f"(densest tile holds "
+                        f"{int(metrics['max_tile_load'])} Gaussians > "
+                        f"max_per_tile={ocfg.max_per_tile}); farthest "
+                        f"are dropped in dense tiles — raise --max_per_tile"
+                    )
+                if auto_tiles:
+                    # the densest tile outgrew k_top: re-size now
+                    retune_at.add(it + 1)
+                    force_retune.add(it + 1)
             logger.scalars(it, {
                 "train_loss_patches/total_loss": loss,
                 "total_points": n_alive,

@@ -95,6 +95,7 @@ def render_gaussians(
     tile_hi_cap: int = 0,
     tile_levels=(),
     active_cap: int = 0,
+    pair_levels=(),
     means2d_offset=None,
     tan_fov=None,
     scaling_modifier: float = 1.0,
@@ -120,6 +121,7 @@ def render_gaussians(
         tile_hi_cap=tile_hi_cap,
         tile_levels=tile_levels,
         active_cap=active_cap,
+        pair_levels=pair_levels,
         means2d_offset=means2d_offset,
         tan_fov=tan_fov,
     )
@@ -172,6 +174,7 @@ def train_step_impl(
             tile_hi_cap=ocfg.tile_hi_cap,
             tile_levels=parse_tile_levels(ocfg.tile_levels),
             active_cap=ocfg.active_cap,
+            pair_levels=parse_tile_levels(ocfg.pair_levels),
             means2d_offset=probe,
         )
         if use_appearance and app is not None:

@@ -129,19 +129,19 @@ def write_synthetic_scene(
             wb = np.exp(rng.uniform(-j / 2, j / 2, size=3))
             img = np.clip(img * (exposure * wb)[None, None, :], 0.0, 1.0)
         if appearance_field > 0.0 and not clean:
-            grid = np.exp(rng.uniform(-appearance_field, appearance_field,
-                                      size=(4, 4)))
-            yy = np.linspace(0, 3, H)
-            xx = np.linspace(0, 3, W)
-            y0 = np.minimum(yy.astype(int), 2)
-            x0 = np.minimum(xx.astype(int), 2)
-            fy_ = (yy - y0)[:, None]
-            fx_ = (xx - x0)[None, :]
-            g = (grid[y0][:, x0] * (1 - fy_) * (1 - fx_)
-                 + grid[y0][:, x0 + 1] * (1 - fy_) * fx_
-                 + grid[y0 + 1][:, x0] * fy_ * (1 - fx_)
-                 + grid[y0 + 1][:, x0 + 1] * fy_ * fx_)
-            img = np.clip(img * g[:, :, None], 0.0, 1.0)
+            # per-view-strength VIGNETTE: the systematic spatial capture
+            # variation the appearance net exists for. Unlike a zero-mean
+            # random gain field (whose per-view average washes out of the
+            # baked radiance field over the training set) a vignette is
+            # one-sided — a model without per-view decoupling bakes the
+            # MEAN corner falloff into the field and pays for it on every
+            # clean held-out view, while the eval's global color fit
+            # cannot absorb a spatial pattern.
+            s = appearance_field * rng.uniform(0.3, 1.0)
+            yy = (np.linspace(-1, 1, H) * (H / W))[:, None]
+            xx = np.linspace(-1, 1, W)[None, :]
+            r2 = (xx * xx + yy * yy) / (1 + (H / W) ** 2)
+            img = np.clip(img * (1.0 - s * r2)[:, :, None], 0.0, 1.0)
         name = f"im{i:03d}.{image_ext}"
         PILImage.fromarray((img * 255).astype(np.uint8)).save(
             os.path.join(out_dir, "images", name)

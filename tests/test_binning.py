@@ -244,3 +244,65 @@ def test_active_cap_overflow_is_counted():
                          TX, TY, 64, active_cap=48)
     assert int(b.n_pairs) == n          # true pre-cap total still reported
     assert int(b.n_dropped) == n - 48   # the excess is counted, not silent
+
+
+def test_pair_levels_equivalence():
+    """A measured footprint ladder that covers the population reproduces
+    the legacy class geometry's windows and drop accounting exactly."""
+    rng = np.random.default_rng(5)
+    n = 512
+    x0 = rng.integers(0, TX, n)
+    y0 = rng.integers(0, TY, n)
+    wx = np.minimum(rng.integers(1, 4, n), TX - x0)
+    wy = np.minimum(rng.integers(1, 4, n), TY - y0)
+    rect = np.stack([x0, y0, x0 + wx, y0 + wy], axis=1).astype(np.int32)
+    depths = rng.uniform(0.5, 50.0, n).astype(np.float32)
+    b_ref = _bins("v2", rect, depths, max_per_tile=256)
+    b_lvl = bin_gaussians_v2(
+        jnp.asarray(rect), jnp.asarray(depths), TX, TY, 256,
+        pair_levels=((2, 512), (4, 512), (9, 256)))
+    np.testing.assert_array_equal(np.asarray(b_ref.tile_gauss),
+                                  np.asarray(b_lvl.tile_gauss))
+    np.testing.assert_array_equal(np.asarray(b_ref.tile_count),
+                                  np.asarray(b_lvl.tile_count))
+    assert int(b_lvl.n_pairs) == int(b_ref.n_pairs)
+    assert int(b_lvl.n_dropped) == 0
+
+
+def test_pair_levels_band_overflow_is_counted():
+    """Gaussians past a band's capacity are dropped AND counted — the
+    re-tuner's reactive-resize signal."""
+    n = 32
+    rect = np.stack([np.arange(n) % TX, np.arange(n) // TX % TY], axis=1)
+    rect = np.concatenate([rect, rect + 1], axis=1).astype(np.int32)
+    depths = np.arange(1, n + 1, dtype=np.float32)
+    b = bin_gaussians_v2(jnp.asarray(rect), jnp.asarray(depths), TX, TY, 64,
+                         pair_levels=((1, 8),))
+    # 32 one-tile footprints into an 8-cap band: 24 whole Gaussians drop
+    assert int(b.n_pairs) == n
+    assert int(b.n_dropped) == n - 8
+
+
+def test_footprint_bands_and_choose_pair_levels():
+    from pcp_tpu.ops.binning import (PAIR_BOUNDS, choose_pair_levels,
+                                     footprint_band_counts_device)
+
+    rect = np.array([
+        [0, 0, 0, 0],      # culled: no band
+        [0, 0, 1, 1],      # 1 tile  -> band (0, 4]
+        [0, 0, 2, 2],      # 4 tiles -> band (0, 4]
+        [0, 0, 3, 2],      # 6       -> (4, 8]
+        [0, 0, 4, 3],      # 12      -> (8, 16]
+        [0, 0, 10, 10],    # 100     -> (64, 512]
+        [0, 0, 40, 40],    # 1600    -> beyond
+    ], np.int32)
+    bc = np.asarray(footprint_band_counts_device(jnp.asarray(rect)))
+    assert bc.tolist() == [2, 1, 1, 0, 0, 1, 0, 0, 1]
+
+    lv = choose_pair_levels(bc[None, :])
+    rs = [r for r, _ in lv]
+    # empty interior bands are elided; the last bound always survives
+    # (beyond-it population lives in the num_tiles-wide safety class)
+    assert rs == [4, 8, 16, 128, 512]
+    assert all(c >= 1024 for _, c in lv)
+    assert list(PAIR_BOUNDS) == [4, 8, 16, 32, 64, 128, 256, 512]

@@ -39,6 +39,11 @@ def main():
     ap.add_argument("--levels", default="",
                     help="N-level tile tables, 'k1:t1,k2:t2,...'")
     ap.add_argument("--active_cap", type=int, default=0)
+    ap.add_argument("--pair_levels", default="",
+                    help="footprint bands 'r1:c1,r2:c2,...'")
+    ap.add_argument("--auto", action="store_true",
+                    help="derive levels/active_cap/pair_levels from the "
+                         "scene exactly like the training re-tuner")
     ap.add_argument("--w", type=int, default=1280)
     ap.add_argument("--h", type=int, default=800)
     args = ap.parse_args()
@@ -70,6 +75,7 @@ def main():
     ocfg = OptimConfig(capacity=CAPACITY, max_per_tile=K,
                        tile_k_lo=args.k_lo, tile_hi_cap=args.t_hi,
                        tile_levels=args.levels, active_cap=args.active_cap,
+                       pair_levels=args.pair_levels,
                        pairs_per_gaussian=16)
     tiles_x = (W + TILE - 1) // TILE
     tiles_y = (H + TILE - 1) // TILE
@@ -79,13 +85,54 @@ def main():
     opac = G.opacity_act(params["opacity"])[:, 0] * alive.astype(jnp.float32)
     sh = G.sh_coeffs(params)
 
+    if args.auto:
+        from pcp_tpu.ops.binning import (choose_pair_levels,
+                                         choose_tile_levels,
+                                         footprint_band_counts_device,
+                                         tile_loads_device)
+        from pcp_tpu.train.config import format_tile_levels
+
+        @jax.jit
+        def measure():
+            p = preprocess(params["xyz"], scales, params["rotation"], opac,
+                           sh, viewmat, intrin, (W, H), 3)
+            tx = (W + TILE - 1) // TILE
+            ty = (H + TILE - 1) // TILE
+            return (tile_loads_device(p["rect"], tx, ty),
+                    footprint_band_counts_device(p["rect"]))
+
+        ld, bc = measure()
+        loads = np.asarray(ld)[None, :]
+        k0, lv = choose_tile_levels(loads, loads.shape[1])
+        plv = choose_pair_levels(np.asarray(bc)[None, :])
+        n_alive = int(np.asarray(alive).sum())
+        acap = -(-int(1.5 * n_alive) // 65536) * 65536
+        args.k_lo = k0 if lv else 0
+        args.levels = format_tile_levels(lv)
+        args.pair_levels = format_tile_levels(plv)
+        args.active_cap = acap if acap < CAPACITY else 0
+        K = args.k = lv[-1][0] if lv else k0
+        levels = lv
+        ocfg = OptimConfig(capacity=CAPACITY, max_per_tile=K,
+                           tile_k_lo=args.k_lo, tile_hi_cap=args.t_hi,
+                           tile_levels=args.levels,
+                           active_cap=args.active_cap,
+                           pair_levels=args.pair_levels,
+                           pairs_per_gaussian=16)
+        print(f"auto: k0={k0} levels=[{args.levels}] "
+              f"pair_bands=[{args.pair_levels}] active_cap={args.active_cap}",
+              flush=True)
+    pair_lv = parse_tile_levels(args.pair_levels)
+
     results = {"n": args.n, "capacity": CAPACITY, "K": K,
                "k_lo": args.k_lo, "t_hi": args.t_hi, "W": W, "H": H,
                "tiles": tiles_x * tiles_y}
     results["levels"] = args.levels
     results["active_cap"] = args.active_cap
+    results["pair_levels"] = args.pair_levels
     split_kw = dict(tile_k_lo=args.k_lo, tile_hi_cap=args.t_hi,
-                    tile_levels=levels, active_cap=args.active_cap)
+                    tile_levels=levels, active_cap=args.active_cap,
+                    pair_levels=pair_lv)
 
     def timeit(name, fn, state0):
         s = fn(state0)
@@ -114,11 +161,13 @@ def main():
         if levels:
             b = binning.bin_gaussians_levels(
                 rect, d, tiles_x, tiles_y, k0=args.k_lo or K,
-                levels=levels, active_cap=args.active_cap)
+                levels=levels, active_cap=args.active_cap,
+                pair_levels=pair_lv)
         else:
             b = binning.bin_gaussians(rect, d, tiles_x, tiles_y,
                                       max_pairs=max_pairs, max_per_tile=K,
-                                      active_cap=args.active_cap)
+                                      active_cap=args.active_cap,
+                                      pair_levels=pair_lv)
         return d + 0 * b.n_pairs.astype(d.dtype), b.n_pairs, b.max_tile_load
 
     r = timeit("binning_ms", lambda s: bin_fn(s[0] if isinstance(s, tuple) else s), depths)
@@ -154,7 +203,7 @@ def main():
 
     # binning sub-stage: the sort alone at full v2 slot count
     total_slots = binning.expansion_key_slots(rect.shape[0], num_tiles,
-                                              args.active_cap)
+                                              args.active_cap, pair_lv)
     results["key_slots_total"] = int(total_slots)
     keys0 = jnp.asarray(
         np.random.default_rng(1).integers(0, 2**32, total_slots,

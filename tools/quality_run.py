@@ -159,7 +159,7 @@ def main():
             write_synthetic_scene(
                 jscene, np.random.default_rng(11), n_points=N_POINTS,
                 n_cams=N_CAMS, W=W, H=H, appearance_jitter=0.45,
-                appearance_field=0.35, jitter_holdout=LLFFHOLD,
+                appearance_field=0.6, jitter_holdout=LLFFHOLD,
             )
             print(f"jitter scene written: {jscene}")
         for name, app in [("jitter_appearance_on", True),
@@ -176,8 +176,8 @@ def main():
                         f"every 100, opacity reset 3000, appearance ON, "
                         f"capacity {CAPACITY}",
             "appearance_ab": f"same scene + per-view exposure/WB jitter "
-                             f"0.45 + low-freq spatial gain field 0.35 "
-                             f"(vignetting analog) on TRAIN views; held-out "
+                             f"0.45 + per-view-strength vignette (<=0.6 "
+                             f"corner falloff) on TRAIN views; held-out "
                              f"views stay clean (a test view's jitter is "
                              f"unpredictable noise for any model — scoring "
                              f"against the clean field measures the "

@@ -215,8 +215,13 @@ def phase_partition(root):
     from pcp_tpu.cli import partition
 
     t0 = time.time()
+    # visible_rate 0.1: the detail cameras ORBIT the fine disc at close
+    # range (r 4..14.5 over an 11-unit disc), so each view clips most of
+    # the block's hull — the reference's 0.45 default assumes the
+    # high-altitude full-block views of an aerial capture. The small
+    # quality scene's orbit uses 0.25 for the same reason.
     partition.main([root, "--threshold", "500000",
-                    "--expansion_distance", "8",
+                    "--expansion_distance", "8", "--visible_rate", "0.1",
                     "--no_plots", "--llffhold", "83"])
     print(f"partition: {time.time() - t0:.1f}s")
 
@@ -408,6 +413,9 @@ def phase_eval(root, block_id, variants, out_json):
 
 
 def main():
+    # at 2^21-slot capacity the default 8-view vmapped eval batch would
+    # multiply the binning workspace past HBM (train/loop.py PCP_EVAL_BATCH)
+    os.environ.setdefault("PCP_EVAL_BATCH", "1")
     ap = argparse.ArgumentParser()
     ap.add_argument("--root", default="/tmp/scale_scene")
     ap.add_argument("--phase", default="all",
