@@ -525,9 +525,22 @@ def choose_tile_levels(loads, num_tiles, chunk=None, headroom=1.6,
         upper = n_band[j + 1] if j + 1 < len(ks) else 0
         if n_band[j] == 0 and j + 1 < len(ks):
             continue                       # elide empty interior bands
-        n_at = n_band[j] + int(drift * (lower + upper)) + 2 * tb
+        if n_band[j] == 0:
+            # the top band exists only as k_top headroom insurance: size
+            # it for drift alone (tiles that outrun it saturate k_top and
+            # the warning schedules a reactive re-tune anyway)
+            n_at = min(int(drift * lower), num_tiles // 16) + 2 * tb
+        else:
+            n_at = n_band[j] + int(drift * (lower + upper)) + 2 * tb
         t_cap = min(int(-(-n_at // tb)) * tb, num_tiles)
         levels.append((k, t_cap))
+    # fold near-dense leading levels into the base: a level holding ~all
+    # tiles costs its own (t_cap ~ num_tiles) table PLUS the now-empty
+    # dense base PLUS num_tiles extra window extractions — raising k0 to
+    # that k is strictly cheaper once t_cap > ~60% of the tiles
+    while levels and levels[0][1] > 0.6 * num_tiles:
+        k0 = levels[0][0]
+        levels = levels[1:]
     return k0, tuple(levels)
 
 
