@@ -245,7 +245,12 @@ def _train_block(root, block_id, out_name, iters, densify, capacity,
     block_dir = os.path.join(root, "model", "split_result", "visible",
                              block_id, f"partition_{block_id}")
     out_dir = os.path.join(block_dir, out_name)
-    ckpt_iters = [i for i in range(5000, iters, 5000)]
+    ckpt_iters = [i for i in range(4000, iters, 4000)]
+    # dense early PLY snapshots: a wall-clock-killed run must still leave
+    # a renderable model well before the first 5k boundary
+    save_iters = sorted({1000, 2000, 3000, 4000, 5000, 6000, 8000}
+                        | set(range(10_000, iters + 1, 5000)) | {iters})
+    save_iters = [i for i in save_iters if i <= iters]
     argv = [
         "-s", block_dir, "-m", out_dir,
         "--iterations", str(iters),
@@ -256,9 +261,7 @@ def _train_block(root, block_id, out_name, iters, densify, capacity,
         "--disable_viewer",
         "--seed", str(seed),
         "--test_iterations", *[str(i) for i in test_iters],
-        # PLY at every checkpoint too: a wall-clock-killed run still
-        # leaves a renderable model at the last 5k boundary
-        "--save_iterations", *[str(i) for i in (ckpt_iters + [iters])],
+        "--save_iterations", *[str(i) for i in save_iters],
     ]
     if ckpt_iters:
         argv += ["--checkpoint_iterations", *[str(i) for i in ckpt_iters]]
@@ -333,9 +336,20 @@ def phase_eval(root, block_id, variants, out_json):
         if not snaps:
             print(f"skip {name}: no PLY snapshot under {out_dir}")
             continue
-        iters = snaps[-1][0]
-        ply = os.path.join(snaps[-1][1], "point_cloud.ply")
-        g = load_gaussian_ply(ply)
+        # a wall-clock kill can truncate the newest PLY: fall back
+        g = None
+        while snaps:
+            iters = snaps[-1][0]
+            ply = os.path.join(snaps[-1][1], "point_cloud.ply")
+            try:
+                g = load_gaussian_ply(ply)
+                break
+            except Exception as e:
+                print(f"  snapshot {iters} unreadable ({e}); falling back")
+                snaps.pop()
+        if g is None:
+            print(f"skip {name}: no readable PLY under {out_dir}")
+            continue
         n_alive = g["xyz"].shape[0]
         sh = jnp.concatenate(
             [jnp.asarray(g["f_dc"]), jnp.asarray(g["f_rest"])], axis=1)
@@ -437,7 +451,7 @@ def main():
     if args.smoke:
         c_iters = iters
     test_iters = ([500, 1500] if args.smoke
-                  else sorted({1000, 7000, 15000, iters}))
+                  else sorted({1000, 3000, 5000, 7000, 15000, iters}))
     test_iters_c = ([500, 1500] if args.smoke else sorted(
         {i for i in (1000, 2500, 5000, 7000, 8500, 15000, c_iters)
          if i <= c_iters}))
