@@ -301,9 +301,11 @@ def autosize_max_per_tile(rects_and_grids, chunk=None, headroom=1.6,
     rect corners, two cumsums) — exact per-tile counts in O(N + tiles),
     no expansion. Returns the smallest multiple of ``chunk`` (the
     composite kernel's CH, so no dead chunk slots) >= headroom * the max
-    observed load, clamped to [floor, cap]. Headroom covers densify
-    growth; the training loop's tile-saturation warning reports if a
-    scene outgrows it (loads beyond K keep the nearest K).
+    observed load, at least ``floor``; ``cap`` bounds only the HEADROOM
+    above the measured load (see ``_cap_fit``) so the table always
+    covers the densest observed tile. Headroom covers densify growth;
+    the training loop's tile-saturation warning reports if a scene
+    outgrows it (loads beyond K keep the nearest K).
     """
     import numpy as np
 
@@ -325,7 +327,7 @@ def autosize_max_per_tile(rects_and_grids, chunk=None, headroom=1.6,
         load = d.cumsum(0).cumsum(1)[:ty, :tx]
         maxload = max(maxload, int(load.max()))
     k = max(floor, int(-(-headroom * maxload // chunk)) * chunk)
-    return int(min(k, cap))
+    return int(min(k, _cap_fit(maxload, cap, chunk)))
 
 
 def expansion_key_slots(n: int, num_tiles: int, active_cap: int = 0,
@@ -424,6 +426,19 @@ def tile_loads_device(rect, tiles_x, tiles_y):
     return g[:tiles_y, :tiles_x].reshape(-1)
 
 
+def _cap_fit(maxload, cap, chunk):
+    """Effective k ceiling: ``cap`` bounds HEADROOM, never the measured
+    load itself. A k-level smaller than the densest tile's true load
+    cannot be re-tuned out of (every re-tune re-measures the same
+    saturation, recompiles, and keeps dropping the farthest Gaussians —
+    a standing violation of the zero-drop contract and a recompile storm
+    observed on the dense fine-detail block of the round-3 scale run:
+    max load 7713 vs the old hard cap 4096, one recompile per 100 iters).
+    CUDA's analog always grows its buffers to the true need
+    (rasterizer_impl.cu:155-194)."""
+    return max(cap, int(-(-max(maxload, 1) // chunk)) * chunk)
+
+
 def choose_tile_classes(loads, num_tiles, chunk=None, headroom=1.6,
                         floor=128, cap=4096):
     """Pick (k_lo, k_hi, t_hi) from measured per-tile loads (views, tiles).
@@ -439,7 +454,7 @@ def choose_tile_classes(loads, num_tiles, chunk=None, headroom=1.6,
     loads = np.asarray(loads)
     maxload = int(loads.max()) if loads.size else 0
     k_hi = max(floor, int(-(-headroom * max(maxload, 1) // chunk)) * chunk)
-    k_hi = int(min(k_hi, cap))
+    k_hi = int(min(k_hi, _cap_fit(maxload, cap, chunk)))
 
     best = (num_tiles * k_hi, k_hi, 0)                # single-table cost
     single_cost = best[0]
@@ -494,7 +509,7 @@ def choose_tile_levels(loads, num_tiles, chunk=None, headroom=1.6,
     loads = np.asarray(loads)
     maxload = int(loads.max()) if loads.size else 0
     k_top = max(floor, int(-(-headroom * max(maxload, 1) // chunk)) * chunk)
-    k_top = int(min(k_top, cap))
+    k_top = int(min(k_top, _cap_fit(maxload, cap, chunk)))
     k0 = 2 * chunk
     if k_top <= 2 * k0:
         return k_top, ()

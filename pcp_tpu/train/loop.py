@@ -389,10 +389,15 @@ def train_scene(
             cur_cost = _table_cost(ocfg, num_tiles)
             new_cost = _table_cost(new_ocfg, num_tiles)
             # reactive re-tunes (scheduled by an overflow warning) adopt
-            # any changed geometry: the 20% cost hysteresis exists to
-            # avoid recompile churn, not to ride out known drops
+            # any materially changed geometry: the 20% cost hysteresis
+            # exists to avoid recompile churn, not to ride out known
+            # drops — but a forced re-tune whose re-measured geometry is
+            # within 2% and fixes nothing (same k_top) would recompile an
+            # equivalent program every 100 iters for nothing
             if (new_ocfg != ocfg and (
-                    it in force_retune
+                    (it in force_retune and (
+                        new_ocfg.max_per_tile != ocfg.max_per_tile
+                        or abs(new_cost - cur_cost) > 0.02 * max(cur_cost, 1)))
                     or abs(new_cost - cur_cost) > 0.2 * max(cur_cost, 1)
                     or new_ocfg.max_per_tile > ocfg.max_per_tile)):
                 ocfg = new_ocfg
@@ -463,6 +468,19 @@ def train_scene(
             save_model(state, model_path, it, save_name)
         if it in cfg.checkpoint_iterations:
             ckpt.save(os.path.join(model_path, f"chkpnt{it}.npz"), state, it)
+        # Cooperative early stop: `touch <model_path>/STOP` makes a
+        # wall-clock-bounded run save a PLY + resumable checkpoint at the
+        # CURRENT iteration and exit cleanly (the SIGKILL alternative loses
+        # everything since the last save_iterations boundary).
+        if it % 50 == 0 and os.path.exists(os.path.join(model_path, "STOP")):
+            if log_fn:
+                log_fn(f"STOP file seen at iter {it}: saving and exiting")
+            save_model(state, model_path, it, save_name)
+            ckpt.save(os.path.join(model_path, f"chkpnt{it}.npz"), state, it)
+            if profile:
+                jax.profiler.stop_trace()
+            logger.close()
+            return state
 
     save_model(state, model_path, ocfg.iterations, save_name)
     if profile:

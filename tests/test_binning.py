@@ -167,10 +167,15 @@ def test_autosize_max_per_tile():
     # next multiple of 128 is 1536
     rect = np.tile(np.array([[0, 0, 1, 1]]), (900, 1)).astype(np.int32)
     assert autosize_max_per_tile([(rect, 4, 4)], chunk=128) == 1536
-    # cap and empty-view behaviour
+    # cap and empty-view behaviour: cap bounds HEADROOM only — the table
+    # must still cover the measured max load (90000 -> ceil to chunk),
+    # never force standing drops (the round-3 scale-run recompile storm)
     assert autosize_max_per_tile([(rect[:0], 4, 4)], chunk=128) == 128
     rect = np.tile(np.array([[0, 0, 1, 1]]), (90000, 1)).astype(np.int32)
-    assert autosize_max_per_tile([(rect, 4, 4)], chunk=128) == 4096
+    assert autosize_max_per_tile([(rect, 4, 4)], chunk=128) == 90112
+    # a cap above the measured load still clamps headroom (1.6x -> 144000)
+    assert autosize_max_per_tile([(rect, 4, 4)], chunk=128,
+                                 cap=131072) == 131072
     # rects clamped to the grid edge must not overflow the diff array
     rect = np.array([[6, 6, 8, 8]], np.int32)
     assert autosize_max_per_tile([(rect, 8, 8)], chunk=128) == 128
