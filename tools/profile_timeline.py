@@ -24,6 +24,8 @@ MIN_MS = 0.08
 
 
 def main():
+    import argparse
+
     import jax
     import jax.numpy as jnp
 
@@ -31,14 +33,34 @@ def main():
     from pcp_tpu.models.appearance import init_appearance
     from pcp_tpu.train import optim
     from pcp_tpu.train.config import OptimConfig
+    from tools import bench_scene
     from pcp_tpu.train.step import TrainState, make_train_step
-    from tools.bench_scene import CAPACITY, H, MAX_PER_TILE, W, camera, \
-        make_scene
 
-    max_per_tile = int(sys.argv[1]) if len(sys.argv) > 1 else MAX_PER_TILE
+    ap = argparse.ArgumentParser()
+    ap.add_argument("k", nargs="?", type=int, default=bench_scene.MAX_PER_TILE)
+    ap.add_argument("--n", type=int, default=0,
+                    help="scale-point mode: live points (e.g. 719802)")
+    ap.add_argument("--cap", type=int, default=0, help="log2 capacity")
+    ap.add_argument("--k_lo", type=int, default=0)
+    ap.add_argument("--levels", default="")
+    ap.add_argument("--active_cap", type=int, default=0)
+    ap.add_argument("--pair_levels", default="")
+    ap.add_argument("--w", type=int, default=0)
+    ap.add_argument("--h", type=int, default=0)
+    args = ap.parse_args()
+    max_per_tile = args.k
+
+    if args.w:
+        bench_scene.W = args.w
+    if args.h:
+        bench_scene.H = args.h
+    W, H = bench_scene.W, bench_scene.H
+    CAPACITY = (1 << args.cap) if args.cap else bench_scene.CAPACITY
+
     rng = np.random.default_rng(0)
-    params, alive = make_scene(rng)
-    viewmat, intrin = camera()
+    params, alive = bench_scene.make_scene(
+        rng, n_points=args.n or None, capacity=CAPACITY)
+    viewmat, intrin = bench_scene.camera()
     app = init_appearance(jax.random.PRNGKey(0), (W, H))
     state = TrainState(
         params=params, app=app, opt_g=optim.init_adam(params),
@@ -46,6 +68,9 @@ def main():
         stats=G.init_densify_stats(CAPACITY),
     )
     ocfg = OptimConfig(capacity=CAPACITY, max_per_tile=max_per_tile,
+                       tile_k_lo=args.k_lo, tile_levels=args.levels,
+                       active_cap=args.active_cap,
+                       pair_levels=args.pair_levels,
                        pairs_per_gaussian=16)
     step = make_train_step(ocfg, (W, H), 30.0, use_appearance=True)
     gt = jnp.asarray(rng.uniform(0, 1, (H, W, 3)).astype(np.float32))
@@ -101,6 +126,14 @@ def main():
         if dur >= MIN_MS:
             print(f"  {dur:7.3f} ms  {name[:80]}")
         t_prev_end = max(t_prev_end or 0, t0 + dur * 1e6)
+
+    print("\ntop ops by duration:")
+    agg = {}
+    for _, dur, name in step_evs:
+        agg[name] = agg.get(name, 0.0) + dur
+    for name, dur in sorted(agg.items(), key=lambda kv: -kv[1])[:25]:
+        print(f"  {dur:8.3f} ms  {name[:90]}")
+    print(f"  total: {sum(agg.values()):.1f} ms over {len(step_evs)} ops")
 
 
 if __name__ == "__main__":
