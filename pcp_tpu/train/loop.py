@@ -127,6 +127,46 @@ def poll_viewer(viewer, state, sh_degree, background, ocfg, training_done):
     return cam.keep_alive and not cam.do_training and not training_done
 
 
+def table_slot_cost(oc, num_tiles: int, capacity: int) -> int:
+    """Total static slots the composite path pays for geometry ``oc``:
+    tile-table slots plus the binning expansion's sort length. The
+    re-tuner compares this across re-measurements — folding the expansion
+    in makes an active_cap/pair_levels change alone recompile-worthy."""
+    from pcp_tpu.ops.binning import expansion_key_slots
+    from pcp_tpu.train.config import parse_tile_levels
+
+    levels = parse_tile_levels(oc.tile_levels)
+    if not levels and oc.tile_hi_cap > 0:
+        levels = ((oc.max_per_tile, oc.tile_hi_cap),)
+    if levels and oc.tile_k_lo > 0:
+        table = num_tiles * oc.tile_k_lo + sum(k * t for k, t in levels)
+    else:
+        table = num_tiles * oc.max_per_tile
+    return table + expansion_key_slots(
+        capacity, num_tiles, oc.active_cap, parse_tile_levels(oc.pair_levels))
+
+
+def retune_decision(ocfg, new_ocfg, cur_cost: int, new_cost: int,
+                    forced: bool) -> bool:
+    """Should a re-measured geometry replace the compiled one?
+
+    Scheduled re-tunes recompile only on a >20% slot-cost move or a grown
+    k_top (the hysteresis avoids recompile churn). Reactive/forced
+    re-tunes (scheduled by an overflow or saturation warning) adopt any
+    materially changed geometry — but a forced re-tune whose re-measured
+    geometry is within 2% and fixes nothing (same k_top) must NOT
+    recompile an equivalent program every 100 iters: that was the k-cap
+    saturation storm of the round-3 scale run (~40 s recompile per 100
+    iters, ~25% of wall; see PERF_NOTES and ops/binning._cap_fit)."""
+    if new_ocfg == ocfg:
+        return False
+    if forced and (new_ocfg.max_per_tile != ocfg.max_per_tile
+                   or abs(new_cost - cur_cost) > 0.02 * max(cur_cost, 1)):
+        return True
+    return (abs(new_cost - cur_cost) > 0.2 * max(cur_cost, 1)
+            or new_ocfg.max_per_tile > ocfg.max_per_tile)
+
+
 def train_scene(
     scene: SceneInfo,
     cfg: TrainRunConfig,
@@ -287,22 +327,7 @@ def train_scene(
             }
 
     def _table_cost(oc, num_tiles):
-        from pcp_tpu.ops.binning import expansion_key_slots
-        from pcp_tpu.train.config import parse_tile_levels
-
-        levels = parse_tile_levels(oc.tile_levels)
-        if not levels and oc.tile_hi_cap > 0:
-            levels = ((oc.max_per_tile, oc.tile_hi_cap),)
-        if levels and oc.tile_k_lo > 0:
-            table = (num_tiles * oc.tile_k_lo
-                     + sum(k * t for k, t in levels))
-        else:
-            table = num_tiles * oc.max_per_tile
-        # the expansion (sort length) is the other capacity-scaled cost;
-        # folding it in makes an active_cap change alone recompile-worthy
-        return table + expansion_key_slots(
-            int(state.alive.shape[0]), num_tiles, oc.active_cap,
-            parse_tile_levels(oc.pair_levels))
+        return table_slot_cost(oc, num_tiles, int(state.alive.shape[0]))
 
     from pcp_tpu.train.logging import TrainLogger
 
@@ -388,18 +413,8 @@ def train_scene(
             new_ocfg, num_tiles = _autosize(f"iter {it}")
             cur_cost = _table_cost(ocfg, num_tiles)
             new_cost = _table_cost(new_ocfg, num_tiles)
-            # reactive re-tunes (scheduled by an overflow warning) adopt
-            # any materially changed geometry: the 20% cost hysteresis
-            # exists to avoid recompile churn, not to ride out known
-            # drops — but a forced re-tune whose re-measured geometry is
-            # within 2% and fixes nothing (same k_top) would recompile an
-            # equivalent program every 100 iters for nothing
-            if (new_ocfg != ocfg and (
-                    (it in force_retune and (
-                        new_ocfg.max_per_tile != ocfg.max_per_tile
-                        or abs(new_cost - cur_cost) > 0.02 * max(cur_cost, 1)))
-                    or abs(new_cost - cur_cost) > 0.2 * max(cur_cost, 1)
-                    or new_ocfg.max_per_tile > ocfg.max_per_tile)):
+            if retune_decision(ocfg, new_ocfg, cur_cost, new_cost,
+                               it in force_retune):
                 ocfg = new_ocfg
                 step_fns = _build_steps(ocfg)
                 if log_fn:
