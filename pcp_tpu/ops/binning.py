@@ -718,18 +718,31 @@ def _expand_sort_v2(rect, depths, tiles_x, tiles_y, active_cap=0,
     compacted = _compact_classes(
         [(m, cap) for m, cap, _ in class_specs], n)
 
+    # ONE (5, 1)-column gather per class table instead of five 1-D gathers
+    # (x0/y0/wx/dq/counts at the same src): the TPU gather unit costs
+    # ~20-30 ns PER INDEX roughly independent of the slice width, so five
+    # separate gathers over the biggest band (~680k members at reference
+    # scale) ran ~60 ms/step where the packed column gather runs one
+    # index stream (PERF_NOTES round 4).
+    geo_planes = jnp.stack([
+        x0, y0, wx, jax.lax.bitcast_convert_type(dq, jnp.int32), counts,
+    ])                                                     # (5, N)
+
     def table(which, mask, cap, r):
         idx, rank_c = compacted[which]
         ok = idx >= 0
         src = jnp.maximum(idx, 0)
-        cnt = jnp.where(ok, jnp.minimum(counts[src], r), 0)
+        g = jax.vmap(lambda v: v[src])(geo_planes)         # (5, C)
+        cnt_src = g[4]
+        cnt = jnp.where(ok, jnp.minimum(cnt_src, r), 0)
         key, pay = _expand_rows(
-            x0[src], y0[src], wx[src], dq[src], src, cnt, r,
+            g[0], g[1], g[2],
+            jax.lax.bitcast_convert_type(g[3], jnp.uint32), src, cnt, r,
             tiles_x, depth_bits,
         )
         # drops: whole Gaussians past the table cap + per-row truncation
         over = jnp.sum(jnp.where(mask & (rank_c >= cap), counts, 0))
-        trunc = jnp.sum(jnp.where(ok, counts[src] - cnt, 0))
+        trunc = jnp.sum(jnp.where(ok, cnt_src - cnt, 0))
         return key, pay, over + trunc
 
     keys_l, pays_l, drops = [], [], jnp.int32(0)

@@ -53,7 +53,26 @@ T_EPS = 1.0e-4
 # minor dim to 128, ~1.9 GB of traffic — and removed; see PERF_NOTES.
 import os as _os
 
-_GRAD_SCATTER = _os.environ.get("PCP_GRAD_SCATTER", "segsum")
+_GRAD_SCATTER = _os.environ.get("PCP_GRAD_SCATTER", "auto")
+
+
+def _grad_mode(m: int, n: int) -> str:
+    """Pick the per-Gaussian gradient-reduction backend from the STATIC
+    geometry (m = total table slots, n = capacity).
+
+    Measured per-index costs on v5e (PERF_NOTES round 4): the dup-index
+    scatter-add runs ~13.5 ns/slot over m; the segsum backward pays a
+    (m+n)-key sort (~3 ns/key), a ~6 ns/index gather over m+n and a
+    ~30 ns/index position gather over n — so segsum wins when capacity is
+    small next to the table (the canonical bench: n=131k, m~1M) and LOSES
+    badly at reference scale (n=2^21: the position gather alone was
+    2 x 64 ms before the single-gather fix, still ~n x 30 ns after).
+    ``PCP_GRAD_SCATTER`` overrides ("segsum"/"add"/"off")."""
+    if _GRAD_SCATTER != "auto":
+        return _GRAD_SCATTER
+    segsum_ns = 6.0 * (m + n) + 30.0 * n   # sort+gs gather, position gather
+    add_ns = 13.5 * m
+    return "segsum" if segsum_ns < add_ns else "add"
 
 # When True, rasterize(use_pallas=None) picks the XLA composite even on the
 # TPU backend. Used by cross-device parity tools that run the same program
@@ -168,7 +187,13 @@ def _grss_bwd(res, g):
 
     pos = jax.lax.cond(exact_ok, pos_from_counts, pos_from_sort, None)
     pos_ext = jnp.concatenate([pos, jnp.full((1,), m + n, jnp.int32)])
-    dpack = ecs[:, pos_ext[1:]] - ecs[:, pos_ext[:-1]]
+    # ONE gather at the n+1 sentinel positions, then adjacent differences —
+    # written as two position gathers (ecs[:, pos_ext[1:]] -
+    # ecs[:, pos_ext[:-1]]) XLA emits TWO ~30 ns/index column gathers over
+    # n indices each (2 x 64 ms at 2^21 capacity, the largest ops in the
+    # scale-point step); the shifted index sets differ so nothing CSEs.
+    sg = jnp.take(ecs, pos_ext, axis=1)
+    dpack = sg[:, 1:] - sg[:, :-1]
     didc = np.zeros(idc.shape, dtype=jax.dtypes.float0)
     dcounts = np.zeros(counts.shape, dtype=jax.dtypes.float0)
     dok = np.zeros((), dtype=jax.dtypes.float0)
@@ -371,9 +396,10 @@ def composite_fused(
         [m[:, 0], m[:, 1], c[:, 0], c[:, 1], c[:, 2],
          rgb[:, 0], rgb[:, 1], rgb[:, 2], prep["opacity"]],
     )                                               # (NA=9, N)
-    if _GRAD_SCATTER == "off":
+    mode = _grad_mode(idc.size, pack.shape[1])
+    if mode == "off":
         att = _gather_rows_noscatter(pack, idc)
-    elif _GRAD_SCATTER == "segsum":
+    elif mode == "segsum":
         # per-Gaussian footprint counts (same formula as binning's pair
         # expansion) let the backward skip its inverse-permutation sort
         # whenever nothing was dropped (the honest-bench operating point)
@@ -451,9 +477,10 @@ def composite_fused_levels(
     idc_cat = jnp.concatenate(
         [jnp.maximum(t, 0).reshape(-1) for t in tbls])
     pack = _pack_planes(prep)
-    if _GRAD_SCATTER == "off":
+    mode = _grad_mode(idc_cat.size, pack.shape[1])
+    if mode == "off":
         att_cat = _gather_rows_noscatter(pack, idc_cat)
-    elif _GRAD_SCATTER == "segsum":
+    elif mode == "segsum":
         # Every footprint pair lands in EXACTLY ONE table (a tile lives in
         # exactly one level), so in the zero-drop case the per-Gaussian
         # slot counts over the CONCATENATED tables are still the footprint

@@ -146,6 +146,77 @@ def make_fleet_step(
     return fleet_step
 
 
+def make_fleet_loads(mesh: Mesh, image_size, sh_degree: int):
+    """Sharded per-block tile-load / footprint-band / alive measurement.
+
+    The fleet analog of the single-block trainer's ``_sample_loads``
+    (train/loop.py): one SPMD program returns (B, num_tiles) exact
+    per-tile loads, (B, n_bands) footprint band counts and (B,) alive
+    counts — only small ints cross the host link. The fleet geometry is
+    then sized over the UNION of blocks' measurements (max over blocks),
+    because all blocks share ONE compiled step: every block gets the
+    CUDA rasterizer's buffer growth (rasterizer_impl.cu:155-194), not
+    just the single-block path."""
+    from pcp_tpu.models import gaussians as G
+    from pcp_tpu.ops.binning import (footprint_band_counts_device,
+                                     tile_loads_device)
+    from pcp_tpu.ops.projection import TILE, preprocess
+
+    w, h = image_size
+    tx = (w + TILE - 1) // TILE
+    ty = (h + TILE - 1) // TILE
+
+    def per_block(state: TrainState, viewmat, intrin):
+        params = state.params
+        scales = G.scaling_act(params["scaling"])
+        opac = (G.opacity_act(params["opacity"])[:, 0]
+                * state.alive.astype(jnp.float32))
+        prep = preprocess(params["xyz"], scales, params["rotation"], opac,
+                          G.sh_coeffs(params), viewmat, intrin, (w, h),
+                          sh_degree)
+        return (tile_loads_device(prep["rect"], tx, ty),
+                footprint_band_counts_device(prep["rect"]),
+                jnp.sum(state.alive.astype(jnp.int32)))
+
+    def local_shard(fleet_state, viewmats, intrins):
+        return jax.vmap(per_block)(fleet_state, viewmats, intrins)
+
+    spec_b = P("blocks")
+
+    @jax.jit
+    def fleet_loads(fleet: FleetState, viewmats, intrins):
+        return shard_map(
+            local_shard, mesh=mesh,
+            in_specs=(spec_b, spec_b, spec_b),
+            out_specs=(spec_b, spec_b, spec_b),
+            check_vma=False,
+        )(fleet.state, viewmats, intrins)
+
+    return fleet_loads, tx * ty
+
+
+def fleet_autosize(ocfg: OptimConfig, loads, band_counts, num_tiles: int,
+                   max_alive: int):
+    """One geometry for the whole fleet from stacked per-(block, view)
+    measurements — same policy as the single-block auto-tuner."""
+    import dataclasses as _dc
+
+    from pcp_tpu.ops.binning import choose_pair_levels, choose_tile_levels
+    from pcp_tpu.train.config import format_tile_levels
+
+    k0, levels = choose_tile_levels(loads, num_tiles)
+    k_top = levels[-1][0] if levels else k0
+    cap_slots = int(ocfg.capacity)
+    acap = -(-int(1.5 * max_alive) // 65536) * 65536
+    acap = acap if acap < cap_slots else 0
+    plv = choose_pair_levels(band_counts)
+    return _dc.replace(ocfg, max_per_tile=k_top,
+                       tile_k_lo=k0 if levels else 0,
+                       tile_levels=format_tile_levels(levels),
+                       tile_hi_cap=0, active_cap=acap,
+                       pair_levels=format_tile_levels(plv))
+
+
 def make_fleet_densify(ocfg: OptimConfig, mesh: Mesh):
     spec_b = P("blocks")
 
@@ -386,20 +457,88 @@ def train_blocks_parallel(
     fleet = shard_fleet(fleet, mesh)
     b_pad = int(fleet.valid.shape[0])
 
+    # --- fleet auto-sizing + in-training re-tune (--max_per_tile 0) ---
+    # Same contract as the single-block trainer: measure per-tile loads /
+    # footprint bands on sample views, size ONE shared geometry over the
+    # max across blocks, re-measure on a cadence and reactively on any
+    # overflow/saturation warning. Without this, one dense block would
+    # re-create the round-3 k-cap saturation storm with no remedy.
+    auto_tiles = ocfg.max_per_tile == 0
+    loads_fn = None
+    fleet_num_tiles = 0
+
+    def _stack_cams(chosen):
+        viewmats = jnp.asarray(np.stack([c.viewmat for c in chosen]))
+        intrins = CameraIntrin(
+            fx=jnp.asarray([c.fx for c in chosen], jnp.float32),
+            fy=jnp.asarray([c.fy for c in chosen], jnp.float32),
+            cx=jnp.asarray([c.width / 2.0 for c in chosen], jnp.float32),
+            cy=jnp.asarray([c.height / 2.0 for c in chosen], jnp.float32),
+        )
+        return viewmats, intrins
+
+    def _fleet_autosize(tag, n_sample=4):
+        nonlocal loads_fn, fleet_num_tiles
+        if loads_fn is None:
+            # rects depend on geometry only — measure at SH degree 0
+            loads_fn, fleet_num_tiles = make_fleet_loads(mesh, (w, h), 0)
+        all_loads, all_bands, max_alive = [], [], 0
+        for s in range(n_sample):
+            chosen = []
+            for bi in range(b_pad):
+                cams_b = block_cams[min(bi, len(block_cams) - 1)]
+                stride = max(1, len(cams_b) // n_sample)
+                chosen.append(cams_b[(s * stride) % len(cams_b)])
+            viewmats, intrins = _stack_cams(chosen)
+            ld, bc, na = loads_fn(fleet, viewmats, intrins)
+            all_loads.append(np.asarray(ld)[: len(block_scenes)])
+            all_bands.append(np.asarray(bc)[: len(block_scenes)])
+            max_alive = max(max_alive,
+                            int(np.asarray(na)[: len(block_scenes)].max()))
+        loads = np.concatenate(all_loads, axis=0)     # (B*S, num_tiles)
+        bands = np.concatenate(all_bands, axis=0)
+        new = fleet_autosize(ocfg, loads, bands, fleet_num_tiles, max_alive)
+        if log_fn:
+            log_fn(f"fleet auto tile levels ({tag}) -> base k0 "
+                   f"{new.tile_k_lo or new.max_per_tile}, levels "
+                   f"[{new.tile_levels or '-'}] (max load "
+                   f"{int(loads.max())}, active_cap "
+                   f"{new.active_cap or 'full'}, pair bands "
+                   f"[{new.pair_levels or '-'}])")
+        return new
+
+    if auto_tiles:
+        ocfg = _fleet_autosize("init")
+
     bank = None
+    padded_cams = None
     if device_data:
         # pad camera lists to b_pad by reusing the last block's cameras
         padded_cams = block_cams + [block_cams[-1]] * (b_pad - len(block_cams))
         bank = build_camera_bank(padded_cams, mesh)
-        step_fn = make_fleet_step_banked(
-            ocfg, (w, h), mesh, use_appearance=cfg.pipeline.use_appearance
-        )
-    else:
-        step_fn = make_fleet_step(
-            ocfg, (w, h), mesh, use_appearance=cfg.pipeline.use_appearance
-        )
-    densify_fn = make_fleet_densify(ocfg, mesh)
+
+    def _build_fns(oc):
+        if device_data:
+            step = make_fleet_step_banked(
+                oc, (w, h), mesh, use_appearance=cfg.pipeline.use_appearance
+            )
+        else:
+            step = make_fleet_step(
+                oc, (w, h), mesh, use_appearance=cfg.pipeline.use_appearance
+            )
+        return step, make_fleet_densify(oc, mesh)
+
+    step_fn, densify_fn = _build_fns(ocfg)
     reset_fn = make_fleet_opacity_reset(mesh)
+
+    retune_at = set()
+    force_retune = set()
+    if auto_tiles:
+        r0 = int(_os.environ.get("PCP_RETUNE", "3000"))
+        if r0 > 0:
+            retune_at = {start_iter + 300, start_iter + 1000} | {
+                i for i in range(0, iterations + 1, r0) if i > start_iter
+            }
 
     background = jnp.asarray(
         [1.0, 1.0, 1.0] if cfg.model.white_background else [0.0, 0.0, 0.0],
@@ -481,6 +620,21 @@ def train_blocks_parallel(
             ):
                 fleet = reset_fn(fleet)
 
+        if it in retune_at:
+            from pcp_tpu.train.loop import retune_decision, table_slot_cost
+
+            cap_slots = int(fleet.state.alive.shape[1])
+            new_ocfg = _fleet_autosize(f"iter {it}")
+            cur_cost = table_slot_cost(ocfg, fleet_num_tiles, cap_slots)
+            new_cost = table_slot_cost(new_ocfg, fleet_num_tiles, cap_slots)
+            if retune_decision(ocfg, new_ocfg, cur_cost, new_cost,
+                               it in force_retune):
+                ocfg = new_ocfg
+                step_fn, densify_fn = _build_fns(ocfg)
+                if log_fn:
+                    log_fn(f"[retune] fleet iter {it}: table slots "
+                           f"{cur_cost} -> {new_cost}; recompiling step")
+
         if block_dirs and checkpoint_interval and \
                 it % checkpoint_interval == 0 and it < iterations:
             checkpoint_all(it)
@@ -513,9 +667,10 @@ def train_blocks_parallel(
                 save_model(unstack_state(host.state, bi), block_dirs[bi], it,
                            f"{block_ids[bi]}_point_cloud")
 
-        if log_fn and (it % 100 == 0 or it == 1):
+        if it % 100 == 0 or it == 1:
             losses = np.asarray(metrics["loss"])[: len(block_scenes)]
-            log_fn(f"fleet iter {it:6d} mean loss {losses.mean():.5f}")
+            if log_fn:
+                log_fn(f"fleet iter {it:6d} mean loss {losses.mean():.5f}")
             for bi, lg in enumerate(loggers):
                 if lg:
                     lg.scalars(it, {
@@ -528,21 +683,32 @@ def train_blocks_parallel(
             if overflow.any():
                 n_pairs = np.asarray(metrics["n_pairs"])[: len(block_scenes)]
                 bad = np.nonzero(overflow)[0].tolist()
-                log_fn(
-                    f"[warn] fleet iter {it}: tile-pair overflow in blocks "
-                    f"{bad} (max n_pairs {int(n_pairs.max())}); nearest "
-                    "Gaussians are kept but quality degrades — raise "
-                    "--pairs_per_gaussian"
-                )
+                if log_fn:
+                    log_fn(
+                        f"[warn] fleet iter {it}: tile-pair overflow in "
+                        f"blocks {bad} (max n_pairs {int(n_pairs.max())}); "
+                        "nearest Gaussians are kept but quality degrades — "
+                        "raise --pairs_per_gaussian"
+                    )
+                if auto_tiles and ocfg.active_cap > 0:
+                    # a block outgrew the alive-scaled bound between
+                    # re-tunes: re-tune now instead of waiting the cadence
+                    retune_at.add(it + 1)
+                    force_retune.add(it + 1)
             saturated = np.asarray(metrics["tile_saturated"])[: len(block_scenes)]
             if saturated.any():
                 loads = np.asarray(metrics["max_tile_load"])[: len(block_scenes)]
-                log_fn(
-                    f"[warn] fleet iter {it}: per-tile saturation in blocks "
-                    f"{np.nonzero(saturated)[0].tolist()} (densest tile "
-                    f"{int(loads.max())} > max_per_tile="
-                    f"{ocfg.max_per_tile}) — raise --max_per_tile"
-                )
+                if log_fn:
+                    log_fn(
+                        f"[warn] fleet iter {it}: per-tile saturation in "
+                        f"blocks {np.nonzero(saturated)[0].tolist()} "
+                        f"(densest tile {int(loads.max())} > max_per_tile="
+                        f"{ocfg.max_per_tile}) — raise --max_per_tile"
+                    )
+                if auto_tiles:
+                    # some block's densest tile outgrew k_top: re-size now
+                    retune_at.add(it + 1)
+                    force_retune.add(it + 1)
 
     host_fleet = jax.device_get(fleet)
     if block_dirs and checkpoint_interval:

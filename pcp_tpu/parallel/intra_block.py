@@ -159,26 +159,29 @@ def make_sharded_render(
             [jnp.zeros((), jnp.float32), (r0 * TILE).astype(jnp.float32)]
         )
         band, _ = composite(band_prep, bins, (w, band_h), background)
+        # per-band binning stats (saturation/overflow observability for the
+        # sharded trainer's re-tuner; out_specs stacks them to (d, 2))
+        binstats = jnp.stack([bins.max_tile_load, bins.n_dropped])[None]
         # --- assemble the full image (bands are disjoint rows) ---
         # (1, band_h, w, 3); out_specs concatenates. aux stays shard-local.
-        return band[None], prep["radii"], prep["visible"]
+        return band[None], prep["radii"], prep["visible"], binstats
 
     f = shard_map(
         local,
         mesh=mesh,
         in_specs=(P("gauss"), P("gauss"), P(), P(), P(), P("gauss")),
-        out_specs=(P("gauss"), P("gauss"), P("gauss")),
+        out_specs=(P("gauss"), P("gauss"), P("gauss"), P("gauss")),
         check_vma=False,
     )
 
     def render(params, alive, viewmat, intrin, background, probe=None):
         if probe is None:
             probe = jnp.zeros_like(params["xyz"][:, :2])
-        bands, radii, visible = f(params, alive, viewmat, intrin, background,
-                                  probe)
+        bands, radii, visible, binstats = f(params, alive, viewmat, intrin,
+                                            background, probe)
         img = bands.reshape(d * band_h, w, 3)[:h]
         if with_aux:
-            return img, radii, visible
+            return img, radii, visible, binstats
         return img
 
     return render
@@ -268,8 +271,8 @@ def make_sharded_train_step_full(
         probe0 = jnp.zeros_like(state.params["xyz"][:, :2])
 
         def loss_fn(params, app, probe):
-            img, radii, visible = render(params, state.alive, viewmat,
-                                         intrin, background, probe)
+            img, radii, visible, binstats = render(
+                params, state.alive, viewmat, intrin, background, probe)
             if use_appearance and app is not None:
                 decoupled, _ = decouple_appearance(img, app, view_idx)
             else:
@@ -278,9 +281,9 @@ def make_sharded_train_step_full(
             loss = (1.0 - ocfg.lambda_dssim) * l1_loss(decoupled, gt) + (
                 ocfg.lambda_dssim
             ) * (1.0 - ssim(chw(img), chw(gt)))
-            return loss, (radii, visible)
+            return loss, (radii, visible, binstats)
 
-        (loss, (radii, visible)), grads = jax.value_and_grad(
+        (loss, (radii, visible, binstats)), grads = jax.value_and_grad(
             loss_fn, argnums=(0, 1, 2), has_aux=True
         )(state.params, state.app, probe0)
         g_gauss, g_app, g_probe = grads
@@ -308,9 +311,56 @@ def make_sharded_train_step_full(
         else:
             app, opt_a = state.app, state.opt_a
         new_state = TrainState(params, app, opt_g, opt_a, state.alive, stats)
-        return new_state, {"loss": loss, "n_visible": jnp.sum(vis)}
+        return new_state, {
+            "loss": loss,
+            "n_visible": jnp.sum(vis),
+            # binstats (d, 2): per-band [max_tile_load, n_dropped]
+            "max_tile_load": jnp.max(binstats[:, 0]),
+            "n_dropped": jnp.sum(binstats[:, 1]),
+        }
 
     return step
+
+
+def make_sharded_loads(mesh: Mesh, image_size):
+    """Per-band tile-load measurement on the SHARDED state (the intra-block
+    analog of train/loop._sample_loads): shard-local preprocess,
+    all_gather rects, clamp to my tile band, exact per-tile counts. Only
+    (d, band_tiles) ints leave the device — the re-tuner sizes
+    max_per_tile from their max. Rects depend on geometry only, so SH
+    degree 0 is used."""
+    from pcp_tpu.ops.binning import tile_loads_device
+
+    w, h = int(image_size[0]), int(image_size[1])
+    d = mesh.devices.size
+    tiles_x = (w + TILE - 1) // TILE
+    tiles_y = (h + TILE - 1) // TILE
+    band_rows = (tiles_y + d - 1) // d
+
+    def local(params, alive, viewmat, intrin):
+        opac = G.opacity_act(params["opacity"])[:, 0] * alive.astype(
+            jnp.float32)
+        prep = preprocess(
+            params["xyz"], G.scaling_act(params["scaling"]),
+            params["rotation"], opac, G.sh_coeffs(params), viewmat, intrin,
+            (w, h), 0,
+        )
+        rect = jax.lax.all_gather(prep["rect"], "gauss", tiled=True)
+        me = jax.lax.axis_index("gauss")
+        r0 = me * band_rows
+        y0 = jnp.clip(rect[:, 1] - r0, 0, band_rows)
+        y1 = jnp.clip(rect[:, 3] - r0, 0, band_rows)
+        band_rect = jnp.stack([rect[:, 0], y0, rect[:, 2], y1], axis=1)
+        return tile_loads_device(band_rect, tiles_x, band_rows)[None]
+
+    f = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P("gauss"), P("gauss"), P(), P()),
+        out_specs=P("gauss"),
+        check_vma=False,
+    )
+    return jax.jit(f)
 
 
 def make_sharded_densify(mesh: Mesh, ocfg: OptimConfig):
@@ -432,11 +482,60 @@ def train_scene_sharded(
         stats=shard_tree(stats_h, mesh),
     )
 
-    step = make_sharded_train_step_full(
-        mesh, ocfg, (w, h), use_appearance=cfg.pipeline.use_appearance)
-    densify = make_sharded_densify(mesh, ocfg)
-    reset = jax.jit(opacity_reset_impl, donate_argnums=(0,))
+    # --- auto max_per_tile + in-training re-tune (--max_per_tile 0) ---
+    # The sharded composite's cost scales with K like the single-block
+    # path's; size it from measured band loads and re-measure on the same
+    # cadence/reactive contract (see train/loop.py, ops/binning._cap_fit).
+    import dataclasses as _dc
+
+    auto_tiles = ocfg.max_per_tile == 0
+    loads_fn = None
+
+    def _autosize_k(tag, cur_state):
+        nonlocal loads_fn
+        from pcp_tpu.ops import pallas_composite as pc
+        from pcp_tpu.ops.binning import _cap_fit
+
+        if loads_fn is None:
+            loads_fn = make_sharded_loads(mesh, (w, h))
+        maxload = 0
+        for cam_s in cams[:: max(1, len(cams) // 4)][:4]:
+            vm_s, in_s = cam_mod.camera_device_arrays(cam_s)
+            ld = loads_fn(cur_state.params, cur_state.alive, vm_s, in_s)
+            maxload = max(maxload, int(np.asarray(ld).max()))
+        chunk = pc.CH
+        k = max(128, int(-(-1.6 * maxload // chunk)) * chunk)
+        k = int(min(k, _cap_fit(maxload, 4096, chunk)))
+        if log_fn:
+            log_fn(f"[sharded x{d}] auto max_per_tile ({tag}) -> {k} "
+                   f"(max band-tile load {maxload})")
+        return k
+
+    retune_at = set()
+    force_retune = set()
+    if auto_tiles:
+        r0 = int(os.environ.get("PCP_RETUNE", "3000"))
+        if r0 > 0:
+            retune_at = {start_iter + 300, start_iter + 1000} | {
+                i for i in range(0, ocfg.iterations + 1, r0)
+                if i > start_iter
+            }
+
     eval_render_cache = {}
+
+    def _build(oc):
+        eval_render_cache.clear()
+        return (make_sharded_train_step_full(
+                    mesh, oc, (w, h),
+                    use_appearance=cfg.pipeline.use_appearance),
+                make_sharded_densify(mesh, oc))
+
+    if auto_tiles:
+        pre_state = TrainState(params=p_sh, app=app_h, opt_g=None,
+                               opt_a=None, alive=a_sh, stats=None)
+        ocfg = _dc.replace(ocfg, max_per_tile=_autosize_k("init", pre_state))
+    step, densify = _build(ocfg)
+    reset = jax.jit(opacity_reset_impl, donate_argnums=(0,))
 
     def eval_tests(state, sh_degree):
         if sh_degree not in eval_render_cache:
@@ -483,6 +582,18 @@ def train_scene_sharded(
                 cfg.model.white_background and it == ocfg.densify_from_iter
             ):
                 state = reset(state)
+        if it in retune_at:
+            from pcp_tpu.train.loop import retune_decision
+
+            k_new = _autosize_k(f"iter {it}", state)
+            new_ocfg = _dc.replace(ocfg, max_per_tile=k_new)
+            if retune_decision(ocfg, new_ocfg, ocfg.max_per_tile, k_new,
+                               it in force_retune):
+                ocfg = new_ocfg
+                step, densify = _build(ocfg)
+                if log_fn:
+                    log_fn(f"[retune] sharded iter {it}: max_per_tile -> "
+                           f"{k_new}; recompiling step")
         if it % 100 == 0 or it == 1:
             n_alive = int(np.asarray(state.alive).sum())
             logger.scalars(it, {
@@ -492,6 +603,15 @@ def train_scene_sharded(
             if log_fn:
                 log_fn(f"[sharded x{d}] iter {it:6d} "
                        f"loss {float(metrics['loss']):.5f} alive {n_alive}")
+            if int(metrics.get("max_tile_load", 0)) > ocfg.max_per_tile:
+                if log_fn:
+                    log_fn(f"[warn] sharded iter {it}: per-tile saturation "
+                           f"(densest band tile "
+                           f"{int(metrics['max_tile_load'])} > max_per_tile="
+                           f"{ocfg.max_per_tile})")
+                if auto_tiles:
+                    retune_at.add(it + 1)
+                    force_retune.add(it + 1)
         if checkpoint_every and it % checkpoint_every == 0:
             tmp = ckpt_path[:-len(".npz")] + ".tmp.npz"  # keep npz backend
             ckpt.save(tmp, jax.device_get(state), it)

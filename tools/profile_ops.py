@@ -47,6 +47,7 @@ def main():
     ap.add_argument("--t_hi", type=int, default=0)
     ap.add_argument("--levels", default="")
     ap.add_argument("--active_cap", type=int, default=0)
+    ap.add_argument("--pair_levels", default="")
     ap.add_argument("--w", type=int, default=0)
     ap.add_argument("--h", type=int, default=0)
     args = ap.parse_args()
@@ -71,6 +72,7 @@ def main():
     ocfg = OptimConfig(capacity=CAPACITY, max_per_tile=max_per_tile,
                        tile_k_lo=args.k_lo, tile_hi_cap=args.t_hi,
                        tile_levels=args.levels, active_cap=args.active_cap,
+                       pair_levels=args.pair_levels,
                        pairs_per_gaussian=16)
     step = make_train_step(ocfg, (W, H), 30.0, use_appearance=True)
     gt = jnp.asarray(rng.uniform(0, 1, (H, W, 3)).astype(np.float32))
