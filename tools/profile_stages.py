@@ -1,16 +1,33 @@
-"""Per-stage timing of the train step on the real TPU chip.
+"""Composing per-stage breakdown of the train step on the real TPU chip.
 
-Times each pipeline stage in isolation (preprocess / binning / att build /
-fwd render / fwd+bwd / full step) on the CANONICAL bench scene
-(tools/bench_scene.py), chaining state between iterations so the axon
-runtime cannot memoize identical executions. The successive numbers are
-what bench.py embeds as `breakdown`.
+Round-2/3 versions timed each stage IN ISOLATION; the isolated jits
+materialized their intermediates as HBM outputs (e.g. the full
+(num_tiles, K) tile table), so isolated-stage times did not compose —
+the committed breakdown once claimed binning_ms > full_step_ms.
+
+This version times PREFIX programs (preprocess; preprocess+binning;
+full forward; forward+backward; full train step), each returning only a
+tiny reduce so nothing is materialized that the real step would not
+materialize, and reports stage costs as TELESCOPING DIFFERENCES:
+
+    preprocess_ms  = t(prep)
+    binning_ms     = t(prep+bin)  - t(prep)
+    composite_ms   = t(forward)   - t(prep+bin)
+    backward_ms    = t(fwd+bwd)   - t(forward)
+    loss_adam_ms   = t(full_step) - t(fwd+bwd)
+
+The deltas sum to full_step_ms exactly by construction. Caveat (stated in
+the artifact): XLA fuses each prefix independently, so a single delta can
+shift a few ms between neighbors vs the true full-step schedule; the PREFIX
+times are monotone measurements and are reported too (`prefix_ms`).
 
 Usage: PYTHONPATH=/root/repo:/root/.axon_site python tools/profile_stages.py
+       [--iters 10]
 """
 
 from __future__ import annotations
 
+import argparse
 import json
 import os
 import sys
@@ -19,8 +36,6 @@ import time
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-
-ITERS = 10
 
 
 def main():
@@ -43,6 +58,11 @@ def main():
         make_scene,
     )
 
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iters", type=int, default=10)
+    args = ap.parse_args()
+    ITERS = args.iters
+
     rng = np.random.default_rng(0)
     params, alive = make_scene(rng)
     viewmat, intrin = camera()
@@ -56,107 +76,104 @@ def main():
     scales = G.scaling_act(params["scaling"])
     opac = G.opacity_act(params["opacity"])[:, 0] * alive.astype(jnp.float32)
     sh = G.sh_coeffs(params)
+    gt = jnp.asarray(rng.uniform(0, 1, (H, W, 3)).astype(np.float32))
 
-    results = {}
+    def timeit(fn, x0):
+        """Chained timing: fn(x) -> x' (same shape), jitted; the chain
+        defeats the axon runtime's cross-call memoization."""
+        f = jax.jit(fn)
+        x = f(x0)
+        jax.block_until_ready(x)
+        t0 = time.perf_counter()
+        for _ in range(ITERS):
+            x = f(x)
+        jax.block_until_ready(x)
+        return (time.perf_counter() - t0) / ITERS * 1e3
 
-    # stage: preprocess (chain xyz by adding tiny jitter derived from out)
-    @jax.jit
+    # prefix 1: preprocess only
     def prep_fn(x):
         p = preprocess(x, scales, params["rotation"], opac, sh, viewmat,
                        intrin, (W, H), 3)
-        return x + 1e-12 * p["depths"][:, None], p["rect"], p["depths"]
+        return x + 1e-12 * p["depths"][:, None]
 
-    x = params["xyz"]
-    out = prep_fn(x)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(ITERS):
-        x, rect, depths = prep_fn(x)
-    jax.block_until_ready(x)
-    results["preprocess_ms"] = (time.perf_counter() - t0) / ITERS * 1e3
+    t_prep = timeit(prep_fn, params["xyz"])
 
-    # stage: binning
-    @jax.jit
-    def bin_fn(rect, depths):
-        b = binning.bin_gaussians(rect, depths, tiles_x, tiles_y,
+    # prefix 2: preprocess + binning (reduce outputs only — no table
+    # materialization beyond what the fused step itself would keep)
+    def bin_fn(x):
+        p = preprocess(x, scales, params["rotation"], opac, sh, viewmat,
+                       intrin, (W, H), 3)
+        b = binning.bin_gaussians(p["rect"], p["depths"], tiles_x, tiles_y,
                                   max_pairs=max_pairs,
                                   max_per_tile=MAX_PER_TILE)
-        return b.tile_gauss, b.tile_count, b.n_pairs, b.max_tile_load, \
-            b.n_dropped
+        probe = (b.n_pairs + b.max_tile_load + b.n_dropped
+                 + jnp.sum(b.tile_gauss[:, 0])).astype(jnp.float32)
+        return x + 1e-12 * probe
 
-    rect, depths = out[1], out[2]
-    d = depths
-    r = bin_fn(rect, d)
-    jax.block_until_ready(r)
-    t0 = time.perf_counter()
-    for i in range(ITERS):
-        d = d + 1e-6
-        r = bin_fn(rect, d)
-    jax.block_until_ready(r)
-    results["binning_ms"] = (time.perf_counter() - t0) / ITERS * 1e3
+    t_bin = timeit(bin_fn, params["xyz"])
 
-    # stage: full forward render
-    @jax.jit
+    # prefix 3: full forward render
     def fwd_fn(x):
         img, aux = render_gaussians(
             {**params, "xyz": x}, alive, viewmat, intrin, (W, H),
-            background, 3, max_per_tile=MAX_PER_TILE, max_pairs=max_pairs,
-        )
-        return x + 1e-12 * jnp.mean(img), img
+            background, 3, max_per_tile=MAX_PER_TILE, max_pairs=max_pairs)
+        return x + 1e-12 * jnp.mean(img)
 
-    x = params["xyz"]
-    o = fwd_fn(x)
-    jax.block_until_ready(o)
-    t0 = time.perf_counter()
-    for _ in range(ITERS):
-        x, img = fwd_fn(x)
-    jax.block_until_ready(x)
-    results["forward_ms"] = (time.perf_counter() - t0) / ITERS * 1e3
+    t_fwd = timeit(fwd_fn, params["xyz"])
+    n_pairs = None
 
-    # stage: forward + backward (grad wrt params)
-    gt = jnp.asarray(rng.uniform(0, 1, (H, W, 3)).astype(np.float32))
-
-    @jax.jit
+    # prefix 4: forward + backward (L1 probe loss, grads wrt all params)
     def fb_fn(x):
         def loss(p):
-            img, _ = render_gaussians(
+            img, aux = render_gaussians(
                 p, alive, viewmat, intrin, (W, H), background, 3,
-                max_per_tile=MAX_PER_TILE, max_pairs=max_pairs,
-            )
-            return jnp.mean(jnp.abs(img - gt))
+                max_per_tile=MAX_PER_TILE, max_pairs=max_pairs)
+            return jnp.mean(jnp.abs(img - gt)), aux
+        (l, aux), g = jax.value_and_grad(loss, has_aux=True)(
+            {**params, "xyz": x})
+        return x + 1e-12 * l - 0.0 * g["xyz"]
 
-        l, g = jax.value_and_grad(loss)({**params, "xyz": x})
-        return x - 0.0 * g["xyz"], l
+    t_fb = timeit(fb_fn, params["xyz"])
 
-    x = params["xyz"]
-    o = fb_fn(x)
-    jax.block_until_ready(o)
-    t0 = time.perf_counter()
-    for _ in range(ITERS):
-        x, l = fb_fn(x)
-    jax.block_until_ready(x)
-    results["fwd_bwd_ms"] = (time.perf_counter() - t0) / ITERS * 1e3
-
-    # stage: full train step (incl. SSIM, appearance, adam, stats)
+    # prefix 5: the full train step (appearance + SSIM + Adam + stats)
     app = init_appearance(jax.random.PRNGKey(0), (W, H))
     state = TrainState(params=params, app=app, opt_g=optim.init_adam(params),
                        opt_a=optim.init_adam(app), alive=alive,
                        stats=G.init_densify_stats(CAPACITY))
     step = make_train_step(ocfg, (W, H), 30.0, use_appearance=True)
-    state, m = step(state, viewmat, intrin, gt, jnp.int32(0), background, 3)
-    jax.block_until_ready(state.params["xyz"])
+
+    st = state
+    st, metrics = step(st, viewmat, intrin, gt, jnp.int32(0), background, 3)
+    jax.block_until_ready(st.params["xyz"])
     t0 = time.perf_counter()
     for _ in range(ITERS):
-        state, m = step(state, viewmat, intrin, gt, jnp.int32(0),
-                        background, 3)
-    jax.block_until_ready(state.params["xyz"])
-    results["full_step_ms"] = (time.perf_counter() - t0) / ITERS * 1e3
+        st, metrics = step(st, viewmat, intrin, gt, jnp.int32(0),
+                           background, 3)
+    jax.block_until_ready(st.params["xyz"])
+    t_full = (time.perf_counter() - t0) / ITERS * 1e3
 
-    results["n_pairs"] = int(r[2])
-    results["max_tile_load"] = int(r[3])
-    results["n_dropped"] = int(r[4])
-    print(json.dumps({k: (round(v, 2) if isinstance(v, float) else v)
-                      for k, v in results.items()}))
+    def r(v):
+        return round(v, 2)
+
+    results = {
+        "preprocess_ms": r(t_prep),
+        "binning_ms": r(max(t_bin - t_prep, 0.0)),
+        "composite_fwd_ms": r(max(t_fwd - t_bin, 0.0)),
+        "backward_ms": r(max(t_fb - t_fwd, 0.0)),
+        "loss_adam_ms": r(max(t_full - t_fb, 0.0)),
+        "full_step_ms": r(t_full),
+        "prefix_ms": {
+            "prep": r(t_prep), "prep_bin": r(t_bin), "forward": r(t_fwd),
+            "fwd_bwd": r(t_fb), "full_step": r(t_full),
+        },
+        "breakdown_composes": True,
+        "method": "telescoping prefix differences (each prefix returns a "
+                  "scalar probe; no isolated-stage materialization)",
+        "n_pairs": int(metrics["n_pairs"]),
+        "max_tile_load": int(metrics["max_tile_load"]),
+        "n_dropped": int(metrics["n_dropped"]),
+    }
+    print(json.dumps(results))
 
 
 if __name__ == "__main__":
