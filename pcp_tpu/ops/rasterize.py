@@ -60,19 +60,24 @@ def _grad_mode(m: int, n: int) -> str:
     """Pick the per-Gaussian gradient-reduction backend from the STATIC
     geometry (m = total table slots, n = capacity).
 
-    Measured per-index costs on v5e (PERF_NOTES round 4): the dup-index
-    scatter-add runs ~13.5 ns/slot over m; the segsum backward pays a
-    (m+n)-key sort (~3 ns/key), a ~6 ns/index gather over m+n and a
-    ~30 ns/index position gather over n — so segsum wins when capacity is
-    small next to the table (the canonical bench: n=131k, m~1M) and LOSES
-    badly at reference scale (n=2^21: the position gather alone was
-    2 x 64 ms before the single-gather fix, still ~n x 30 ns after).
+    Measured on v5e (PERF_NOTES rounds 3-4): segsum wins at the canonical
+    bench (n=131k), and — after the round-4 single-position-gather fix —
+    at reference scale too: full step 428.5 (segsum) vs 475.5 ms (add) at
+    719k/1280x800/2^21, where the dup-index scatter-add is the largest op
+    in the whole step (fusion.22 = 282.6 ms; ~100 ns per index against a
+    (9, 2^21) output vs the 13.5 ns/idx it costs when the output fits
+    scoped memory). The round-3 "segsum schedules pathologically at 2^21"
+    anomaly (1081 ms) no longer reproduces post-fix. auto therefore picks
+    segsum at every geometry; "add" stays for A/B via the env override.
+    Also measured (round 4): pointing pad slots out-of-bounds so the
+    scatter drops their exactly-zero updates did NOT pay (474.7 vs 475.5
+    full step, forward gather regressed 106.9 -> 135.7 ms) — the
+    emitter's cost is not executed-row-proportional.
     ``PCP_GRAD_SCATTER`` overrides ("segsum"/"add"/"off")."""
     if _GRAD_SCATTER != "auto":
         return _GRAD_SCATTER
-    segsum_ns = 6.0 * (m + n) + 30.0 * n   # sort+gs gather, position gather
-    add_ns = 13.5 * m
-    return "segsum" if segsum_ns < add_ns else "add"
+    del m, n  # segsum measured faster at every probed geometry
+    return "segsum"
 
 # When True, rasterize(use_pallas=None) picks the XLA composite even on the
 # TPU backend. Used by cross-device parity tools that run the same program
@@ -380,7 +385,6 @@ def composite_fused(
     if (nt_pad, k_pad) != (nt, k):
         ids = jnp.full((nt_pad, k_pad), -1, jnp.int32).at[:nt, :k].set(ids)
     valid = (ids >= 0).astype(jnp.float32)
-    idc = jnp.maximum(ids, 0)
 
     # PLANE-MAJOR attribute pack (NA, N) and a batched per-plane gather to
     # the kernel's (NA, nt, K) layout. Any (.., NA=9)-minor intermediate
@@ -396,7 +400,8 @@ def composite_fused(
         [m[:, 0], m[:, 1], c[:, 0], c[:, 1], c[:, 2],
          rgb[:, 0], rgb[:, 1], rgb[:, 2], prep["opacity"]],
     )                                               # (NA=9, N)
-    mode = _grad_mode(idc.size, pack.shape[1])
+    mode = _grad_mode(ids.size, pack.shape[1])
+    idc = jnp.maximum(ids, 0)
     if mode == "off":
         att = _gather_rows_noscatter(pack, idc)
     elif mode == "segsum":
