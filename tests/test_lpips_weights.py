@@ -190,3 +190,62 @@ def test_writer_torch_cross_check(tmp_path):
     flat = load_pth(theirs)
     for k, v in arrs.items():
         np.testing.assert_array_equal(flat[k], v, err_msg=k)
+
+
+def test_convert_torch_weights_golden(tmp_path):
+    """Golden-checksum pin of the FULL real-weight conversion path
+    (VERDICT r3 #8). Published torchvision-AlexNet/richzhang weights
+    cannot enter this environment (zero egress, no torchvision), so the
+    comparable-LPIPS blocker stands; this pins everything on our side of
+    it: deterministic alexnet-SHAPED checkpoints are serialized in the
+    REAL torch.save format (by torch itself when importable, else by the
+    byte-compatible stdlib writer — cross-checked above), pushed through
+    ``convert_torch_weights`` (zip+pickle reader, OIHW->HWIO transpose,
+    head flatten), and every output array's SHA256 must match the digest
+    recorded when the path was authored. Any reader/mapping drift fails
+    here even in a torch-free environment."""
+    import hashlib
+
+    from pcp_tpu.eval.lpips import convert_torch_weights
+
+    rng = np.random.default_rng(2026)
+    alex = _fake_alexnet_sd(rng)
+    lins = _fake_lins_sd(rng)
+    ap = str(tmp_path / "alexnet.pth")
+    lp = str(tmp_path / "alex.pth")
+    out = str(tmp_path / "out.npz")
+    try:
+        import torch
+
+        torch.save({k: torch.tensor(v) for k, v in alex.items()}, ap)
+        torch.save({k: torch.tensor(v) for k, v in lins.items()}, lp)
+    except ImportError:
+        save_pth({k: Tensor(v) for k, v in alex.items()}, ap)
+        save_pth({k: Tensor(v) for k, v in lins.items()}, lp)
+    convert_torch_weights(out, alexnet_pth=ap, lpips_pth=lp)
+
+    golden = {
+        "conv0_b": "20c9f463a8b91965",
+        "conv0_w": "ae273f7c4e0d25fb",
+        "conv1_b": "8dac4bad069cb89d",
+        "conv1_w": "7a8c7d4772276b75",
+        "conv2_b": "2688679030044064",
+        "conv2_w": "a160d20abd74ba99",
+        "conv3_b": "3109287a7b31f673",
+        "conv3_w": "f854260fc72727ce",
+        "conv4_b": "92b1ee987eb0a3b9",
+        "conv4_w": "261902fa45435f8b",
+        "lin0_w": "aea33d5cbde5ea9e",
+        "lin1_w": "3f6873bcfc8c8ded",
+        "lin2_w": "517af5175ffddb6f",
+        "lin3_w": "f8e4acd19be30b4d",
+        "lin4_w": "786e122da5cd5b60",
+    }
+    z = dict(np.load(out))
+    assert sorted(z) == sorted(golden)
+    for k, want in golden.items():
+        a = np.ascontiguousarray(z[k])
+        got = hashlib.sha256(
+            a.tobytes() + str(a.shape).encode() + str(a.dtype).encode()
+        ).hexdigest()[:16]
+        assert got == want, f"{k}: digest {got} != golden {want}"

@@ -28,6 +28,13 @@ W, H = 96, 64
 N_PTS = 300
 N_CAMS = 14
 ITERS = int(os.environ.get("DBG_APP_ITERS", "1500"))
+# A/B-cadence knobs (question 3): QUALITY_r03_small's appearance A/B ran
+# densify every 100 + opacity reset 3000 over 6000 iters and measured ON
+# LOSING; the default diagnostic cadence (every 200, no reset) measures ON
+# winning. These let the same tiny scene reproduce the A/B cadence to
+# isolate which schedule interaction flips the sign.
+DENS_INT = int(os.environ.get("DBG_APP_DENSIFY_INT", "200"))
+RESET_INT = int(os.environ.get("DBG_APP_RESET_INT", "0"))  # 0 = never
 
 
 def main():
@@ -82,9 +89,10 @@ def main():
             optim=OptimConfig(iterations=ITERS, capacity=1024,
                               max_per_tile=256,
                               densify_from_iter=300,
-                              densification_interval=200,
+                              densification_interval=DENS_INT,
                               densify_until_iter=int(ITERS * 0.75),
-                              opacity_reset_interval=10 * ITERS),
+                              opacity_reset_interval=(RESET_INT or
+                                                      10 * ITERS)),
             pipeline=PipelineConfig(use_appearance=use_app),
             test_iterations=[], save_iterations=[], seed=0,
         )
@@ -117,7 +125,10 @@ def main():
                             float(np.mean(cc_psnr)))
         print(f"appearance={'ON ' if use_app else 'OFF'} vs TRUE images: "
               f"raw PSNR {results[use_app][0]:.2f}  "
-              f"color-corrected {results[use_app][1]:.2f}")
+              f"color-corrected {results[use_app][1]:.2f}  "
+              f"alive {int(np.asarray(state.alive).sum())} "
+              f"(cadence: densify/{DENS_INT}, reset/{RESET_INT or 'never'}, "
+              f"{ITERS} iters)")
 
     # question 1: do the maps track the jitter? compare two train views'
     # mean map ratio to their GT/true brightness ratio
