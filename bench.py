@@ -131,11 +131,31 @@ def main() -> None:
             if ln.startswith("{"):
                 breakdown = json.loads(ln)
 
+    from tools import bench_scene as BS
     from tools.bench_scene import MAX_PER_TILE
 
     # canonical point: fixed K=512 (the committed round-over-round config)
     iters_per_sec, honesty = _run_point(
         100_000, WARMUP, ITERS, max_per_tile=MAX_PER_TILE)
+
+    def _roofline(h, ips, width, height):
+        """FLOP/byte budget vs measured (VERDICT r3 #7): slots from the
+        two-level geometry, expansion keys from the v2 class tables."""
+        from pcp_tpu.ops.binning import expansion_key_slots
+        from pcp_tpu.ops.projection import TILE
+        from tools.roofline import summarize
+
+        nt = ((width + TILE - 1) // TILE) * ((height + TILE - 1) // TILE)
+        k_lo, k, t_hi = h["tile_k_lo"], h["max_per_tile"], h["tile_hi_cap"]
+        slots = nt * k_lo + t_hi * k if k_lo else nt * k
+        r = summarize(
+            round(1e3 / ips, 2), capacity=h["capacity"], slots=slots,
+            key_slots=int(expansion_key_slots(h["capacity"], nt)),
+            n_pairs=h["n_pairs"], width=width, height=height)
+        # one-line summary for the artifact; full table via tools/roofline
+        return {k2: r[k2] for k2 in (
+            "speed_of_light_ms", "measured_ms", "sol_fraction",
+            "hbm_MB_per_step", "slot_efficiency")}
 
     sweep = []
     if os.environ.get("PCP_BENCH_SWEEP", "1") == "1":
@@ -144,6 +164,7 @@ def main() -> None:
             sweep.append({
                 "iters_per_sec": round(ips, 3),
                 "pairs_per_sec": round(h["n_pairs"] * ips, 0),
+                "roofline": _roofline(h, ips, BS.W, BS.H),
                 **h,
             })
 
@@ -155,6 +176,7 @@ def main() -> None:
         "pairs_per_sec": round(honesty["n_pairs"] * iters_per_sec, 0),
         **{k: honesty[k] for k in ("n_pairs", "max_tile_load", "overflow",
                                    "tile_saturated")},
+        "roofline": _roofline(honesty, iters_per_sec, BS.W, BS.H),
         "scale_sweep": sweep,
         "breakdown": breakdown,
     }))
