@@ -240,6 +240,15 @@ def pick_block(root):
 
 def _train_block(root, block_id, out_name, iters, densify, capacity,
                  test_iters, seed=0):
+    # In-loop held-out evals use the batched vmapped render; on the r4
+    # quality run its first compile (iter 1000) CRASHED the TPU worker
+    # ("kernel fault") and wedged the chip for ~everything after. The
+    # artifact's quality numbers come from the final eval phase (separate
+    # process, per-view non-vmapped render) and its curves from
+    # train_log.jsonl, so the in-loop evals are optional: PCP_QSR_NO_EVAL=1
+    # (default) drops them; set 0 to restore.
+    if os.environ.get("PCP_QSR_NO_EVAL", "1") == "1":
+        test_iters = []
     from pcp_tpu.cli import train as train_cli
 
     block_dir = os.path.join(root, "model", "split_result", "visible",
@@ -260,9 +269,12 @@ def _train_block(root, block_id, out_name, iters, densify, capacity,
         "--eval", "--llffhold", str(LLFFHOLD),
         "--disable_viewer",
         "--seed", str(seed),
-        "--test_iterations", *[str(i) for i in test_iters],
         "--save_iterations", *[str(i) for i in save_iters],
     ]
+    # "0" = never (the loop is 1-based); omitting the flag would fall back
+    # to the CLI default [7000, 30000] and re-arm the crash
+    argv += ["--test_iterations",
+             *([str(i) for i in test_iters] if test_iters else ["0"])]
     if ckpt_iters:
         argv += ["--checkpoint_iterations", *[str(i) for i in ckpt_iters]]
     if densify:
