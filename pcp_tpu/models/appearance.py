@@ -34,6 +34,17 @@ import os as _os
 
 APP_BF16 = _os.environ.get("PCP_APP_BF16", "1") == "1"
 
+# Transformation-map range. The reference's map is sigmoid(x) in (0, 1)
+# (appearance_network.py:59) — purely attenuating, so per-view gains > 1
+# are structurally inexpressible: the radiance field must migrate to the
+# scene's BRIGHTEST exposure envelope before per-view maps can darken
+# from it, and until it does, brightened views push their jitter INTO the
+# shared field (the round-3/4 appearance A/B mechanism; dbg_appearance
+# measures the map clipping at ~0.998 on gain-1.2 views). Setting
+# PCP_APP_MAP_SCALE=2 widens the map to (0, 2) so gains either side of 1
+# are expressible. Default 1.0 = exact reference semantics.
+APP_MAP_SCALE = float(_os.environ.get("PCP_APP_MAP_SCALE", "1"))
+
 
 def _pixel_shuffle(x: jnp.ndarray, r: int = 2) -> jnp.ndarray:
     """(B, H, W, C*r^2) -> (B, H*r, W*r, C), torch PixelShuffle semantics."""
@@ -147,6 +158,8 @@ class AppearanceNetwork(nn.Module):
         # the rest of the net uses, so params/checkpoints are unchanged)
         x = nn.relu(MMConv(16, name="Conv_1")(x))
         x = MMConv(3, name="Conv_2")(x)
+        if APP_MAP_SCALE != 1.0:
+            return APP_MAP_SCALE * nn.sigmoid(x)
         return nn.sigmoid(x)
 
 

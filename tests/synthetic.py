@@ -75,6 +75,7 @@ def write_synthetic_scene(
     appearance_jitter: float = 0.0,
     appearance_field: float = 0.0,
     jitter_holdout: int = 0,
+    jitter_atten_only: bool = False,
 ):
     """Create `<out_dir>/{images/, sparse/0/*.bin}`; returns the true
     Gaussian tuple for oracle comparisons.
@@ -125,8 +126,19 @@ def write_synthetic_scene(
         clean = jitter_holdout > 0 and i % jitter_holdout == 0
         if appearance_jitter > 0.0 and not clean:
             j = appearance_jitter
-            exposure = np.exp(rng.uniform(-j, j))
-            wb = np.exp(rng.uniform(-j / 2, j / 2, size=3))
+            if jitter_atten_only:
+                # Same log-widths shifted into the ATTENUATION domain
+                # (every gain <= 1). The reference's transformation map is
+                # a sigmoid (appearance_network.py:59) — multiplicative in
+                # (0, 1) — so gains > 1 are structurally inexpressible
+                # (dbg_appearance measures the map clipping at ~0.998 on
+                # gain-1.2 views); this mode keeps the jitter inside the
+                # map's design domain.
+                exposure = np.exp(rng.uniform(-2 * j, 0.0))
+                wb = np.exp(rng.uniform(-j, 0.0, size=3))
+            else:
+                exposure = np.exp(rng.uniform(-j, j))
+                wb = np.exp(rng.uniform(-j / 2, j / 2, size=3))
             img = np.clip(img * (exposure * wb)[None, None, :], 0.0, 1.0)
         if appearance_field > 0.0 and not clean:
             # per-view-strength VIGNETTE: the systematic spatial capture

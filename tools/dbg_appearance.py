@@ -35,6 +35,9 @@ ITERS = int(os.environ.get("DBG_APP_ITERS", "1500"))
 # isolate which schedule interaction flips the sign.
 DENS_INT = int(os.environ.get("DBG_APP_DENSIFY_INT", "200"))
 RESET_INT = int(os.environ.get("DBG_APP_RESET_INT", "0"))  # 0 = never
+# DBG_APP_ATTEN=1: jitter gains <= 1 only (the sigmoid map's design
+# domain — see tests/synthetic.py jitter_atten_only)
+ATTEN = os.environ.get("DBG_APP_ATTEN", "0") == "1"
 
 
 def main():
@@ -54,13 +57,14 @@ def main():
     from tests.synthetic import (look_at_w2c, render_true_scene,
                                  write_synthetic_scene)
 
-    root = "/tmp/dbg_app_scene"
+    root = "/tmp/dbg_app_scene" + ("_atten" if ATTEN else "")
     rng = np.random.default_rng(4)
     if not os.path.isdir(os.path.join(root, "sparse")):
         os.makedirs(root, exist_ok=True)
     true = write_synthetic_scene(
         root, rng, n_points=N_PTS, n_cams=N_CAMS, W=W, H=H,
-        appearance_jitter=0.5, appearance_field=0.35)
+        appearance_jitter=0.5, appearance_field=0.35,
+        jitter_atten_only=ATTEN)
     xyz, rgb, scales, quats, opac = true
 
     scene = load_colmap_scene(root)
