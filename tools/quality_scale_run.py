@@ -336,6 +336,43 @@ def phase_eval(root, block_id, variants, out_json):
     test_cams = [cam_mod.from_info(i, 1) for i in test_infos]
     print(f"eval: {len(test_cams)} held-out views")
 
+    def eval_snapshot(ply_path, full=True):
+        """PSNR/SSIM(/LPIPS when full) of one PLY over the held-out views.
+
+        Pads the Gaussian axis to the next power of two (pad rows sit far
+        outside every frustum, so they cull to nothing) — snapshots of
+        different populations then share a couple of compiled render
+        shapes instead of one ~45 s tunnel compile each."""
+        g = load_gaussian_ply(ply_path)
+        n = g["xyz"].shape[0]
+        n_pad = 1 << max(int(np.ceil(np.log2(max(n, 1)))), 10)
+        pad = n_pad - n
+
+        def p(a, fill=0.0):
+            return jnp.asarray(np.concatenate(
+                [a, np.full((pad,) + a.shape[1:], fill, a.dtype)])
+                if pad else a)
+
+        xyz_j = jnp.asarray(np.concatenate(
+            [g["xyz"], np.tile([[0.0, 0.0, -1e6]], (pad, 1)).astype(
+                g["xyz"].dtype)]) if pad else g["xyz"])
+        sh = jnp.concatenate(
+            [p(g["f_dc"]), p(g["f_rest"])], axis=1)
+        scales_a = G.scaling_act(p(g["scaling"], -10.0))
+        op_a = G.opacity_act(p(g["opacity"], -10.0))[:, 0]
+        rot_j = p(g["rotation"])
+        render = jax.jit(lambda vm, intr: rasterize(
+            xyz_j, scales_a, rot_j, op_a, sh,
+            vm, intr, (W, H), jnp.zeros(3), 3, max_per_tile=4096)[0])
+        renders, gts = [], []
+        for cam in test_cams:
+            vm, intr = cam_mod.camera_device_arrays(cam)
+            renders.append(np.clip(np.asarray(render(vm, intr)), 0, 1))
+            gts.append(np.asarray(cam.gt_image))
+        res = evaluate_images(
+            renders, gts, lpips_weights=lpips_npz if full else None)
+        return n, res
+
     rows = []
     for name, out_dir, wall_min, iters in variants:
         # latest snapshot at or below the scheduled end (a killed run
@@ -345,39 +382,38 @@ def phase_eval(root, block_id, variants, out_json):
             for d in glob.glob(os.path.join(out_dir, "point_cloud",
                                             "iteration_*"))
             if int(os.path.basename(d)[len("iteration_"):]) <= iters)
+        # quality-vs-iteration curve from the SAVED snapshots (replaces
+        # the in-loop evals dropped after the vmapped-eval worker crash;
+        # runs in this separate process on the per-view render path)
+        snap_curve = []
+        for it_s, d_s in snaps[:-1]:
+            try:
+                n_s, res_s = eval_snapshot(
+                    os.path.join(d_s, "point_cloud.ply"), full=False)
+                snap_curve.append({
+                    "iter": it_s, "alive": int(n_s),
+                    "PSNR": res_s["mean"]["PSNR"],
+                    "SSIM": res_s["mean"]["SSIM"]})
+                print(json.dumps({"snapshot": it_s, **snap_curve[-1]}))
+            except Exception as e:
+                print(f"  snapshot {it_s}: eval failed ({e}); skipped")
         if not snaps:
             print(f"skip {name}: no PLY snapshot under {out_dir}")
             continue
         # a wall-clock kill can truncate the newest PLY: fall back
-        g = None
+        res = None
         while snaps:
             iters = snaps[-1][0]
             ply = os.path.join(snaps[-1][1], "point_cloud.ply")
             try:
-                g = load_gaussian_ply(ply)
+                n_alive, res = eval_snapshot(ply, full=True)
                 break
             except Exception as e:
                 print(f"  snapshot {iters} unreadable ({e}); falling back")
                 snaps.pop()
-        if g is None:
+        if res is None:
             print(f"skip {name}: no readable PLY under {out_dir}")
             continue
-        n_alive = g["xyz"].shape[0]
-        sh = jnp.concatenate(
-            [jnp.asarray(g["f_dc"]), jnp.asarray(g["f_rest"])], axis=1)
-        scales_a = G.scaling_act(jnp.asarray(g["scaling"]))
-        op_a = G.opacity_act(jnp.asarray(g["opacity"]))[:, 0]
-        xyz_j = jnp.asarray(g["xyz"])
-        rot_j = jnp.asarray(g["rotation"])
-        render = jax.jit(lambda vm, intr: rasterize(
-            xyz_j, scales_a, rot_j, op_a, sh,
-            vm, intr, (W, H), jnp.zeros(3), 3, max_per_tile=4096)[0])
-        renders, gts = [], []
-        for cam in test_cams:
-            vm, intr = cam_mod.camera_device_arrays(cam)
-            renders.append(np.clip(np.asarray(render(vm, intr)), 0, 1))
-            gts.append(np.asarray(cam.gt_image))
-        res = evaluate_images(renders, gts, lpips_weights=lpips_npz)
 
         # step-time / population curve from the training JSONL
         curve = []
@@ -408,6 +444,7 @@ def phase_eval(root, block_id, variants, out_json):
                              "comparable to published LPIPS)",
             "wall_minutes": round(wall_min, 1),
             "in_loop_evals": evals,
+            "snapshot_curve": snap_curve,
             "population_curve": curve,
         })
         print(json.dumps({k: rows[-1][k] for k in
