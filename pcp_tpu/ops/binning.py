@@ -559,6 +559,62 @@ def choose_tile_levels(loads, num_tiles, chunk=None, headroom=1.6,
     return k0, tuple(levels)
 
 
+def cluster_views(loads, n_classes):
+    """Group views into <= ``n_classes`` geometry classes by their
+    per-tile load profiles (agglomerative, least union-cost increase).
+
+    WHY: one static table must cover the per-tile MAX over every view it
+    serves. Views of a large block look at DIFFERENT parts of it, so the
+    all-views union is far fatter than any single view's profile — the
+    round-4 quality run paid 9.6M table slots per step against ~2.5M
+    true pairs (slot efficiency 0.26) because ~1100 tiles were heavy in
+    SOME view. Clustering views with similar profiles and compiling one
+    step per class keeps each class's union close to its members' own
+    loads — the static-shape answer to CUDA's per-view dynamic sizing
+    (rasterizer_impl.cu:155-194), one compile per class instead of per
+    view.
+
+    The merge cost is the sum over tiles of the element-wise max of the
+    cluster's loads — the pair count a worst-case-union table must
+    cover, a monotone proxy for table_slot_cost that keeps the
+    agglomeration vectorizable.
+
+    ``loads``: (views, tiles) int array. Returns (labels (views,) int,
+    n_found <= n_classes)."""
+    import numpy as np
+
+    loads = np.asarray(loads, np.float32)
+    v = loads.shape[0]
+    if n_classes <= 1:
+        return np.zeros(v, np.int64), 1
+    if v <= n_classes:
+        return np.arange(v, dtype=np.int64), v
+    # cluster max-profiles (K, T) and member lists
+    maxes = [loads[i] for i in range(v)]
+    members = [[i] for i in range(v)]
+    while len(maxes) > n_classes:
+        m = np.stack(maxes)                       # (K, T)
+        cost = m.sum(axis=1)                      # (K,)
+        n = np.array([len(x) for x in members], np.float32)
+        # minimize EXPECTED per-step cost sum_c (n_c/V) * cost_c: a step
+        # pays only its own class's table, so merging i,j changes the
+        # objective by (n_i+n_j)*union - n_i*cost_i - n_j*cost_j.
+        # pairwise union cost (K, K, T) -> (K, K); K <= 64 so this fits
+        union = np.maximum(m[:, None, :], m[None, :, :]).sum(axis=2)
+        inc = ((n[:, None] + n[None, :]) * union
+               - (n * cost)[:, None] - (n * cost)[None, :])
+        np.fill_diagonal(inc, np.inf)
+        i, j = np.unravel_index(np.argmin(inc), inc.shape)
+        i, j = min(i, j), max(i, j)
+        maxes[i] = np.maximum(maxes[i], maxes[j])
+        members[i] = members[i] + members[j]
+        del maxes[j], members[j]
+    labels = np.zeros(v, np.int64)
+    for c, mem in enumerate(members):
+        labels[mem] = c
+    return labels, len(members)
+
+
 def autosize_tile_classes(rects_and_grids, chunk=None, headroom=1.6,
                           floor=128, cap=4096):
     """Pick the two-level table geometry (k_lo, k_hi, t_hi) from measured

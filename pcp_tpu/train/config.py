@@ -94,6 +94,16 @@ class OptimConfig:
     # the --max_per_tile 0 re-tuner from measured footprint histograms;
     # "" = legacy static classes.
     pair_levels: str = ""
+    # view-class tile geometry: cluster training views into <= N classes
+    # by measured per-tile load profile and compile ONE train step per
+    # class (binning.cluster_views). One static table must cover the
+    # per-tile max over every view it serves; on large blocks the
+    # all-views union is several times any single view's profile (round-4
+    # quality run: 9.6M slots vs 2.5M per-view pairs), so per-class
+    # tables recover most of CUDA's per-view dynamic sizing at the cost
+    # of N compiles per (re-)tune. Requires --max_per_tile 0 (auto).
+    # 1 = single shared geometry (default).
+    view_classes: int = 1
     min_opacity: float = 0.005
 
 

@@ -146,6 +146,20 @@ def table_slot_cost(oc, num_tiles: int, capacity: int) -> int:
         capacity, num_tiles, oc.active_cap, parse_tile_levels(oc.pair_levels))
 
 
+def retune_decision_core(equal: bool, cur_k: int, new_k: int,
+                         cur_cost: int, new_cost: int,
+                         forced: bool) -> bool:
+    """Geometry-agnostic core of retune_decision (works for a single
+    geometry or the weighted aggregate of view-class geometries)."""
+    if equal:
+        return False
+    if forced and (new_k != cur_k
+                   or abs(new_cost - cur_cost) > 0.02 * max(cur_cost, 1)):
+        return True
+    return (abs(new_cost - cur_cost) > 0.2 * max(cur_cost, 1)
+            or new_k > cur_k)
+
+
 def retune_decision(ocfg, new_ocfg, cur_cost: int, new_cost: int,
                     forced: bool) -> bool:
     """Should a re-measured geometry replace the compiled one?
@@ -158,13 +172,9 @@ def retune_decision(ocfg, new_ocfg, cur_cost: int, new_cost: int,
     recompile an equivalent program every 100 iters: that was the k-cap
     saturation storm of the round-3 scale run (~40 s recompile per 100
     iters, ~25% of wall; see PERF_NOTES and ops/binning._cap_fit)."""
-    if new_ocfg == ocfg:
-        return False
-    if forced and (new_ocfg.max_per_tile != ocfg.max_per_tile
-                   or abs(new_cost - cur_cost) > 0.02 * max(cur_cost, 1)):
-        return True
-    return (abs(new_cost - cur_cost) > 0.2 * max(cur_cost, 1)
-            or new_ocfg.max_per_tile > ocfg.max_per_tile)
+    return retune_decision_core(
+        new_ocfg == ocfg, ocfg.max_per_tile, new_ocfg.max_per_tile,
+        cur_cost, new_cost, forced)
 
 
 def train_scene(
@@ -220,9 +230,13 @@ def train_scene(
     # right-sizing"). Densify growth is covered by the headroom + the
     # saturation warning below.
     auto_tiles = ocfg.max_per_tile == 0
+    # view-class geometry (OptimConfig.view_classes > 1): cluster views by
+    # load profile, one compiled step per class (binning.cluster_views)
+    n_view_classes = max(1, int(getattr(ocfg, "view_classes", 1))) \
+        if auto_tiles else 1
 
-    def _sample_loads():
-        """Per-tile loads + footprint band counts on 8 sample views of the
+    def _sample_loads(n_sample=8):
+        """Per-tile loads + footprint band counts on sample views of the
         CURRENT state, computed on device — only (num_tiles,) +
         (n_bands,) ints cross the host link."""
         from pcp_tpu.ops.binning import (footprint_band_counts_device,
@@ -241,7 +255,7 @@ def train_scene(
             return (tile_loads_device(prep_s["rect"], tx, ty),
                     footprint_band_counts_device(prep_s["rect"]))
 
-        sample = cams[:: max(1, len(cams) // 8)][:8]
+        sample = cams[:: max(1, len(cams) // n_sample)][:n_sample]
         sh_a = G.sh_coeffs(state.params)
         out, bands = [], []
         for cam in sample:
@@ -258,17 +272,20 @@ def train_scene(
         num_tiles = max(a.shape[0] for a in out)
         loads = np.stack([np.pad(a, (0, num_tiles - a.shape[0]))
                           for a in out])
-        return loads, num_tiles, np.stack(bands)
+        return loads, num_tiles, np.stack(bands), sample
 
     def _autosize(tag):
+        """Measure loads and size the tile/pair geometry. Returns
+        (class_ocfgs, class_of_uid, class_weights, num_tiles); a single
+        entry and an empty map in the (default) one-class mode."""
         import dataclasses as _dc
 
-        from pcp_tpu.ops.binning import choose_pair_levels, choose_tile_levels
+        from pcp_tpu.ops.binning import (choose_pair_levels,
+                                         choose_tile_levels, cluster_views)
         from pcp_tpu.train.config import format_tile_levels
 
-        loads, num_tiles, band_counts = _sample_loads()
-        k0, levels = choose_tile_levels(loads, num_tiles)
-        k_top = levels[-1][0] if levels else k0
+        loads, num_tiles, band_counts, sampled = _sample_loads(
+            48 if n_view_classes > 1 else 8)
         # alive-scaled class tables: bound the binning expansion by the
         # live population (densify headroom 1.5x, snapped to 64k so small
         # drift doesn't churn recompiles); capacity-scaled when the bound
@@ -277,34 +294,75 @@ def train_scene(
         cap_slots = int(state.alive.shape[0])
         acap = -(-int(1.5 * n_alive) // 65536) * 65536
         acap = acap if acap < cap_slots else 0
-        plv = choose_pair_levels(band_counts)
-        new = _dc.replace(ocfg, max_per_tile=k_top,
-                          tile_k_lo=k0 if levels else 0,
-                          tile_levels=format_tile_levels(levels),
-                          tile_hi_cap=0, active_cap=acap,
-                          pair_levels=format_tile_levels(plv))
-        if log_fn:
-            log_fn(f"auto tile levels ({tag}) -> base k0 {k0}, levels "
-                   f"[{new.tile_levels or '-'}] "
-                   f"(max load {int(loads.max())}, active_cap "
-                   f"{acap or 'full'}, pair bands "
-                   f"[{new.pair_levels or '-'}])")
-        return new, num_tiles
 
+        labels, n_cls = cluster_views(loads, n_view_classes)
+        ocfgs, cmap = [], {}
+        for c in range(n_cls):
+            rows = labels == c
+            k0, levels = choose_tile_levels(loads[rows], num_tiles)
+            k_top = levels[-1][0] if levels else k0
+            plv = choose_pair_levels(band_counts[rows])
+            ocfgs.append(_dc.replace(
+                ocfg, max_per_tile=k_top,
+                tile_k_lo=k0 if levels else 0,
+                tile_levels=format_tile_levels(levels),
+                tile_hi_cap=0, active_cap=acap,
+                pair_levels=format_tile_levels(plv)))
+            if log_fn:
+                extra = (f" [class {c}: {int(rows.sum())} sampled views]"
+                         if n_cls > 1 else "")
+                log_fn(f"auto tile levels ({tag}){extra} -> base k0 {k0}, "
+                       f"levels [{ocfgs[-1].tile_levels or '-'}] "
+                       f"(max load {int(loads[rows].max())}, active_cap "
+                       f"{acap or 'full'}, pair bands "
+                       f"[{ocfgs[-1].pair_levels or '-'}])")
+        weights = [1] * n_cls
+        if n_cls > 1:
+            for cam_s, lab in zip(sampled, labels):
+                cmap[cam_s.uid] = int(lab)
+            # unmeasured views: nearest SAMPLED view by camera center
+            # (locality in pose tracks locality in load profile); a wrong
+            # guess only risks a saturation warning, which the reactive
+            # re-tune path already handles.
+            centers = np.stack([
+                -np.asarray(c.viewmat)[:3, :3].T
+                @ np.asarray(c.viewmat)[:3, 3] for c in sampled])
+            for cam_u in cams:
+                if cam_u.uid in cmap:
+                    continue
+                ctr = (-np.asarray(cam_u.viewmat)[:3, :3].T
+                       @ np.asarray(cam_u.viewmat)[:3, 3])
+                near = int(np.argmin(
+                    np.sum((centers - ctr) ** 2, axis=1)))
+                cmap[cam_u.uid] = int(labels[near])
+            weights = [
+                sum(1 for c_ in cams if cmap.get(c_.uid, 0) == c)
+                for c in range(n_cls)
+            ]
+        return ocfgs, cmap, weights, num_tiles
+
+    class_of_uid = {}
+    class_weights = [1]
     if auto_tiles:
-        ocfg, _ = _autosize("init")
+        class_ocfgs, class_of_uid, class_weights, _ = _autosize("init")
+        ocfg = class_ocfgs[0]
+    else:
+        class_ocfgs = [ocfg]
 
     # one compiled step per distinct camera resolution (the appearance net
     # is fully convolutional, so a single param set serves every size)
-    def _build_steps(oc):
+    # x one per view class (make_train_step caches by config, so equal
+    # class geometries share a compile)
+    def _build_steps(ocs):
         return {
-            s: make_train_step(
+            (s, ci): make_train_step(
                 oc, s, scene.extent,
                 use_appearance=cfg.pipeline.use_appearance)
             for s in sizes
+            for ci, oc in enumerate(ocs)
         }
 
-    step_fns = _build_steps(ocfg)
+    step_fns = _build_steps(class_ocfgs)
     densify_fn = make_densify_step(ocfg, scene.extent)
 
     # Dynamic re-tuning (the analog of the CUDA rasterizer's buffer
@@ -368,7 +426,9 @@ def train_scene(
         sh_degree = min(cfg.model.sh_degree, (it - 1) // 1000)
 
         viewmat, intrin = cam_mod.camera_device_arrays(cam)
-        step_fn = step_fns[(cam.width, cam.height)]
+        cls_step = class_of_uid.get(cam.uid, 0)
+        ocfg_step = class_ocfgs[cls_step]
+        step_fn = step_fns[((cam.width, cam.height), cls_step)]
         if debug:
             # step_fn donates the state; snapshot it to host first
             prev_host = jax.device_get(state)
@@ -410,13 +470,24 @@ def train_scene(
                 state = opacity_reset_step(state)
 
         if it in retune_at:
-            new_ocfg, num_tiles = _autosize(f"iter {it}")
-            cur_cost = _table_cost(ocfg, num_tiles)
-            new_cost = _table_cost(new_ocfg, num_tiles)
-            if retune_decision(ocfg, new_ocfg, cur_cost, new_cost,
-                               it in force_retune):
-                ocfg = new_ocfg
-                step_fns = _build_steps(ocfg)
+            new_ocfgs, new_cmap, new_w, num_tiles = _autosize(f"iter {it}")
+            cur_cost = sum(
+                w * _table_cost(oc, num_tiles)
+                for oc, w in zip(class_ocfgs, class_weights)
+            ) // max(sum(class_weights), 1)
+            new_cost = sum(
+                w * _table_cost(oc, num_tiles)
+                for oc, w in zip(new_ocfgs, new_w)
+            ) // max(sum(new_w), 1)
+            if retune_decision_core(
+                    new_ocfgs == class_ocfgs,
+                    max(o.max_per_tile for o in class_ocfgs),
+                    max(o.max_per_tile for o in new_ocfgs),
+                    cur_cost, new_cost, it in force_retune):
+                class_ocfgs, class_of_uid, class_weights = (
+                    new_ocfgs, new_cmap, new_w)
+                ocfg = class_ocfgs[0]
+                step_fns = _build_steps(class_ocfgs)
                 if log_fn:
                     log_fn(f"[retune] iter {it}: table slots "
                            f"{cur_cost} -> {new_cost}; recompiling step")
@@ -435,7 +506,7 @@ def train_scene(
                         f"outgrew active_cap/class tables; raise "
                         f"--pairs_per_gaussian if it persists after re-tune"
                     )
-                if auto_tiles and ocfg.active_cap > 0:
+                if auto_tiles and ocfg_step.active_cap > 0:
                     # population outgrew the alive-scaled bound between
                     # re-tunes: re-tune now instead of waiting the cadence
                     retune_at.add(it + 1)
@@ -446,7 +517,7 @@ def train_scene(
                         f"[warn] iter {it}: per-tile saturation "
                         f"(densest tile holds "
                         f"{int(metrics['max_tile_load'])} Gaussians > "
-                        f"max_per_tile={ocfg.max_per_tile}); farthest "
+                        f"max_per_tile={ocfg_step.max_per_tile}); farthest "
                         f"are dropped in dense tiles — raise --max_per_tile"
                     )
                 if auto_tiles:
@@ -466,7 +537,11 @@ def train_scene(
                     f"alive {n_alive} ({(now - t0):.1f}s)"
                 )
         if it in cfg.test_iterations and test_cams:
-            m = evaluate_cameras(state, test_cams, sh_degree, background, ocfg)
+            # held-out views were never measured/classed: use the class
+            # with the widest k_top (covers any view's load, worst case)
+            ocfg_eval = max(class_ocfgs, key=lambda o: o.max_per_tile)
+            m = evaluate_cameras(state, test_cams, sh_degree, background,
+                                 ocfg_eval)
             if log_fn:
                 log_fn(f"[eval {it}] test l1 {m['l1']:.4f} psnr {m['psnr']:.2f}")
             logger.scalars(it, {"test/loss_viewpoint_l1": m["l1"],
