@@ -24,9 +24,13 @@ import numpy as np
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-W, H = 96, 64
-N_PTS = 300
-N_CAMS = 14
+W = int(os.environ.get("DBG_APP_W", "96"))
+H = int(os.environ.get("DBG_APP_H", "64"))
+N_PTS = int(os.environ.get("DBG_APP_PTS", "300"))
+N_CAMS = int(os.environ.get("DBG_APP_CAMS", "14"))
+JITTER = float(os.environ.get("DBG_APP_JITTER", "0.5"))
+FIELD = float(os.environ.get("DBG_APP_FIELD", "0.35"))
+CAPACITY = int(os.environ.get("DBG_APP_CAP", "1024"))
 ITERS = int(os.environ.get("DBG_APP_ITERS", "1500"))
 # A/B-cadence knobs (question 3): QUALITY_r03_small's appearance A/B ran
 # densify every 100 + opacity reset 3000 over 6000 iters and measured ON
@@ -57,13 +61,14 @@ def main():
     from tests.synthetic import (look_at_w2c, render_true_scene,
                                  write_synthetic_scene)
 
-    root = "/tmp/dbg_app_scene" + ("_atten" if ATTEN else "")
+    root = (f"/tmp/dbg_app_scene_{W}x{H}_{N_PTS}"
+            + ("_atten" if ATTEN else ""))
     rng = np.random.default_rng(4)
     if not os.path.isdir(os.path.join(root, "sparse")):
         os.makedirs(root, exist_ok=True)
     true = write_synthetic_scene(
         root, rng, n_points=N_PTS, n_cams=N_CAMS, W=W, H=H,
-        appearance_jitter=0.5, appearance_field=0.35,
+        appearance_jitter=JITTER, appearance_field=FIELD,
         jitter_atten_only=ATTEN)
     xyz, rgb, scales, quats, opac = true
 
@@ -90,7 +95,7 @@ def main():
             model=ModelConfig(source_path=root, model_path=f"/tmp/dbg_app_"
                               f"{'on' if use_app else 'off'}",
                               resolution=1, sh_degree=2),
-            optim=OptimConfig(iterations=ITERS, capacity=1024,
+            optim=OptimConfig(iterations=ITERS, capacity=CAPACITY,
                               max_per_tile=256,
                               densify_from_iter=300,
                               densification_interval=DENS_INT,
