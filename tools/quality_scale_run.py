@@ -254,7 +254,10 @@ def _train_block(root, block_id, out_name, iters, densify, capacity,
     block_dir = os.path.join(root, "model", "split_result", "visible",
                              block_id, f"partition_{block_id}")
     out_dir = os.path.join(block_dir, out_name)
-    ckpt_iters = [i for i in range(4000, iters, 4000)]
+    # every 2000: the chip tunnel wedged twice in the first 3 h of the r4
+    # run (futex-stuck client, ~15 min recovery); a 4000-iter checkpoint
+    # grid lost ~45 min of training per wedge
+    ckpt_iters = [i for i in range(2000, iters, 2000)]
     # dense early PLY snapshots: a wall-clock-killed run must still leave
     # a renderable model well before the first 5k boundary
     save_iters = sorted({1000, 2000, 3000, 4000, 5000, 6000, 8000}
