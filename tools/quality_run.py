@@ -35,12 +35,22 @@ import numpy as np
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-W, H = 400, 304
-N_POINTS = 4000
-N_CAMS = 48
+import os as _os
+
+# env overrides let the SAME multi-block pipeline run at CPU scale — the
+# round-4 appearance diagnosis found the r3 ON-losing result only exists
+# in this pipeline's full configuration (per-block appearance nets,
+# merge, clean-held-out cc metrics), so a shrunk replica is the
+# discriminating experiment for the multi-block suspect.
+W = int(_os.environ.get("QR_W", "400"))
+H = int(_os.environ.get("QR_H", "304"))
+N_POINTS = int(_os.environ.get("QR_PTS", "4000"))
+N_CAMS = int(_os.environ.get("QR_CAMS", "48"))
 ITERS = 10_000
-CAPACITY = 1 << 16
+CAPACITY = int(_os.environ.get("QR_CAP", str(1 << 16)))
 LLFFHOLD = 8
+THRESHOLD = int(_os.environ.get("QR_THRESHOLD", "1500"))
+ARTIFACT = _os.environ.get("QR_OUT", "QUALITY_r03_small.json")
 
 
 def lpips_weights_path(scene_dir):
@@ -115,7 +125,7 @@ def _partition(scene):
     # extended boxes (center-in-box assignment); visibility selection
     # (visible_rate) then trims each block's camera set
     partition.main([
-        scene, "--threshold", "1500", "--expansion_distance", "6",
+        scene, "--threshold", str(THRESHOLD), "--expansion_distance", "6",
         "--visible_rate", "0.25", "--no_plots",
         "--llffhold", str(LLFFHOLD),
     ])
@@ -189,7 +199,7 @@ def main():
         "runs": rows,
     }
     # a --skip_* rerun refreshes only its own variants; keep the rest
-    art = os.path.join(REPO, "QUALITY_r03_small.json")
+    art = os.path.join(REPO, ARTIFACT)
     if os.path.exists(art) and (args.skip_densify_pair
                                 or args.skip_appearance_pair):
         prev = json.load(open(art))
