@@ -461,10 +461,12 @@ def phase_eval(root, block_id, variants, out_json):
                      f"{N_FINE + N_COARSE} true Gaussians, {W}x{H} "
                      f"({W*H/1e6:.2f} MP)",
             "block": block_id,
-            "schedule": "densify 1000.. every 200, opacity reset 3000, "
-                    "appearance ON, capacity "
+            "schedule": "densify 500..15000 every 100, opacity reset "
+                    "3000, appearance ON, capacity "
                     f"{CAPACITY} (control {CAPACITY_CONTROL}, no densify); "
-                    "per-variant iteration counts in runs[]",
+                    "per-variant iteration counts in runs[] (a variant "
+                    "whose run was wall-clock-bounded reports the "
+                    "iteration its newest readable snapshot reached)",
             "reference_bar": "500k-pt block, 30k iters, ~1MP, densify "
                              "toward multi-M Gaussians "
                              "(shen_partition_utils.py:125, "
