@@ -339,13 +339,22 @@ def phase_eval(root, block_id, variants, out_json):
     test_cams = [cam_mod.from_info(i, 1) for i in test_infos]
     print(f"eval: {len(test_cams)} held-out views")
 
+    # ONE jitted render shared by every snapshot: arrays enter as
+    # ARGUMENTS (a fresh closure per snapshot would recompile the heavy
+    # 1MP/2^20 render each time — measured ~13 min per remote compile,
+    # which is how the first r4 eval attempt died)
+    @jax.jit
+    def _render_j(xyz, scales_a, rot, op, sh, vm, intr):
+        return rasterize(xyz, scales_a, rot, op, sh, vm, intr, (W, H),
+                         jnp.zeros(3), 3, max_per_tile=4096)[0]
+
     def eval_snapshot(ply_path, full=True):
         """PSNR/SSIM(/LPIPS when full) of one PLY over the held-out views.
 
         Pads the Gaussian axis to the next power of two (pad rows sit far
         outside every frustum, so they cull to nothing) — snapshots of
         different populations then share a couple of compiled render
-        shapes instead of one ~45 s tunnel compile each."""
+        shapes instead of one ~13 min tunnel compile each."""
         g = load_gaussian_ply(ply_path)
         n = g["xyz"].shape[0]
         n_pad = 1 << max(int(np.ceil(np.log2(max(n, 1)))), 10)
@@ -364,13 +373,11 @@ def phase_eval(root, block_id, variants, out_json):
         scales_a = G.scaling_act(p(g["scaling"], -10.0))
         op_a = G.opacity_act(p(g["opacity"], -10.0))[:, 0]
         rot_j = p(g["rotation"])
-        render = jax.jit(lambda vm, intr: rasterize(
-            xyz_j, scales_a, rot_j, op_a, sh,
-            vm, intr, (W, H), jnp.zeros(3), 3, max_per_tile=4096)[0])
         renders, gts = [], []
         for cam in test_cams:
             vm, intr = cam_mod.camera_device_arrays(cam)
-            renders.append(np.clip(np.asarray(render(vm, intr)), 0, 1))
+            renders.append(np.clip(np.asarray(_render_j(
+                xyz_j, scales_a, rot_j, op_a, sh, vm, intr)), 0, 1))
             gts.append(np.asarray(cam.gt_image))
         res = evaluate_images(
             renders, gts, lpips_weights=lpips_npz if full else None)
