@@ -150,8 +150,47 @@ def _grss_fwd(pack, idc, counts, exact_ok):
     return out, (pack.shape[1], idc, counts, exact_ok)
 
 
+# PCP_SEGSUM selects the segment-sum backend inside _grss_bwd:
+#   "sentinel" (default) — the round-3 sort+cumsum+position-gather chain;
+#   "mosaic"             — gid-sort + in-kernel one-hot-MXU accumulation
+#                          (ops/segsum_pallas.sorted_segment_sum); TPU only,
+#                          falls back to sentinel elsewhere.
+_SEGSUM_IMPL = _os.environ.get("PCP_SEGSUM", "sentinel")
+
+
+def _grss_bwd_mosaic(res, g):
+    """Mosaic path: ONE m-element (gid, iota) sort, one gather into
+    gid-sorted order, then the Pallas kernel reduces each contiguous
+    segment with one-hot MXU matmuls — no cumsum over (9, m+n), no
+    sentinel keys, no position gather."""
+    import numpy as np
+
+    from pcp_tpu.ops.segsum_pallas import sorted_segment_sum
+
+    n, idc, counts, exact_ok = res
+    del counts, exact_ok  # the kernel path always sorts; no shortcut
+    na = g.shape[0]
+    idc_flat = idc.reshape(-1).astype(jnp.int32)
+    m = idc_flat.shape[0]
+    s_gid, order = jax.lax.sort(
+        (idc_flat, jnp.arange(m, dtype=jnp.int32)), num_keys=1,
+        is_stable=False)
+    gs = jnp.take(g.reshape(na, m), order, axis=1)
+    dpack = sorted_segment_sum(gs, s_gid, n)
+    didc = np.zeros(idc.shape, dtype=jax.dtypes.float0)
+    dcounts = np.zeros(res[2].shape, dtype=jax.dtypes.float0)
+    dok = np.zeros((), dtype=jax.dtypes.float0)
+    return dpack, didc, dcounts, dok
+
+
 def _grss_bwd(res, g):
     import numpy as np
+
+    if (_SEGSUM_IMPL == "mosaic" and jax.default_backend() == "tpu"
+            and not FORCE_XLA):
+        n_cap = res[0]
+        if n_cap % 256 == 0:
+            return _grss_bwd_mosaic(res, g)
 
     n, idc, counts, exact_ok = res
     na = g.shape[0]

@@ -115,6 +115,14 @@ class PipelineConfig:
     compute_cov3D_python: bool = False
     debug: bool = False
     use_appearance: bool = True
+    # Appearance-map output range: the map is app_map_scale * sigmoid(x)
+    # (models/appearance.py). Captured from PCP_APP_MAP_SCALE at config
+    # build so the value persists in cfg_args — a model trained with
+    # scale 2 would silently render halved maps if later loaded without
+    # the env set (ADVICE r4 #3); loaders warn on mismatch.
+    app_map_scale: float = field(
+        default_factory=lambda: float(
+            os.environ.get("PCP_APP_MAP_SCALE", "1")))
 
 
 @dataclass
@@ -154,6 +162,18 @@ def save_cfg_args(model_path: str, cfg: TrainRunConfig) -> None:
 def load_cfg_args(model_path: str) -> TrainRunConfig:
     with open(os.path.join(model_path, "cfg_args.json")) as f:
         d = json.load(f)
+    saved_scale = d.get("pipeline", {}).get("app_map_scale")
+    if saved_scale is not None:
+        from pcp_tpu.models import appearance as _app
+
+        if abs(saved_scale - _app.APP_MAP_SCALE) > 1e-9:
+            import warnings
+
+            warnings.warn(
+                f"cfg_args records app_map_scale={saved_scale} but this "
+                f"process runs with PCP_APP_MAP_SCALE="
+                f"{_app.APP_MAP_SCALE} — appearance maps will render "
+                f"wrong; set PCP_APP_MAP_SCALE={saved_scale}")
     return TrainRunConfig(
         model=ModelConfig(**d["model"]),
         optim=OptimConfig(**d["optim"]),

@@ -235,10 +235,11 @@ def train_scene(
     n_view_classes = max(1, int(getattr(ocfg, "view_classes", 1))) \
         if auto_tiles else 1
 
-    def _sample_loads(n_sample=8):
+    def _sample_loads(n_sample=8, from_cams=None):
         """Per-tile loads + footprint band counts on sample views of the
         CURRENT state, computed on device — only (num_tiles,) +
-        (n_bands,) ints cross the host link."""
+        (n_bands,) ints cross the host link. ``from_cams`` overrides the
+        sampled pool (train cams by default; eval passes test cams)."""
         from pcp_tpu.ops.binning import (footprint_band_counts_device,
                                          tile_loads_device)
         from pcp_tpu.ops.projection import TILE as _TILE
@@ -255,7 +256,8 @@ def train_scene(
             return (tile_loads_device(prep_s["rect"], tx, ty),
                     footprint_band_counts_device(prep_s["rect"]))
 
-        sample = cams[:: max(1, len(cams) // n_sample)][:n_sample]
+        pool = cams if from_cams is None else from_cams
+        sample = pool[:: max(1, len(pool) // n_sample)][:n_sample]
         sh_a = G.sh_coeffs(state.params)
         out, bands = [], []
         for cam in sample:
@@ -340,6 +342,30 @@ def train_scene(
                 for c in range(n_cls)
             ]
         return ocfgs, cmap, weights, num_tiles
+
+    def _eval_geometry():
+        """Size a one-class geometry from the HELD-OUT views' measured
+        loads (they are never part of any training class); standard
+        autosizer headroom, so a test view resembling a dense class
+        cannot silently saturate tiles and understate eval metrics."""
+        import dataclasses as _dc
+
+        from pcp_tpu.ops.binning import choose_pair_levels, choose_tile_levels
+        from pcp_tpu.train.config import format_tile_levels
+
+        loads, num_tiles, band_counts, _ = _sample_loads(
+            8, from_cams=test_cams)
+        n_alive = int(np.asarray(state.alive).sum())
+        cap_slots = int(state.alive.shape[0])
+        acap = -(-int(1.5 * n_alive) // 65536) * 65536
+        acap = acap if acap < cap_slots else 0
+        k0, levels = choose_tile_levels(loads, num_tiles)
+        return _dc.replace(
+            ocfg, max_per_tile=levels[-1][0] if levels else k0,
+            tile_k_lo=k0 if levels else 0,
+            tile_levels=format_tile_levels(levels), tile_hi_cap=0,
+            active_cap=acap,
+            pair_levels=format_tile_levels(choose_pair_levels(band_counts)))
 
     class_of_uid = {}
     class_weights = [1]
@@ -479,11 +505,22 @@ def train_scene(
                 w * _table_cost(oc, num_tiles)
                 for oc, w in zip(new_ocfgs, new_w)
             ) // max(sum(new_w), 1)
+            # A forced re-tune must also adopt a geometry where ANY
+            # class's k_top moved, not just the cross-class max — a
+            # non-max class whose densest tile outgrew its own table
+            # would otherwise be rejected by the 2% hysteresis and keep
+            # dropping far Gaussians (ADVICE r4 #2). Class identity is
+            # not stable across re-measurements, so compare the sorted
+            # k multiset.
+            ks_changed = (
+                sorted(o.max_per_tile for o in new_ocfgs)
+                != sorted(o.max_per_tile for o in class_ocfgs))
             if retune_decision_core(
                     new_ocfgs == class_ocfgs,
                     max(o.max_per_tile for o in class_ocfgs),
                     max(o.max_per_tile for o in new_ocfgs),
-                    cur_cost, new_cost, it in force_retune):
+                    cur_cost, new_cost, it in force_retune) or (
+                    it in force_retune and ks_changed):
                 class_ocfgs, class_of_uid, class_weights = (
                     new_ocfgs, new_cmap, new_w)
                 ocfg = class_ocfgs[0]
@@ -537,9 +574,16 @@ def train_scene(
                     f"alive {n_alive} ({(now - t0):.1f}s)"
                 )
         if it in cfg.test_iterations and test_cams:
-            # held-out views were never measured/classed: use the class
-            # with the widest k_top (covers any view's load, worst case)
-            ocfg_eval = max(class_ocfgs, key=lambda o: o.max_per_tile)
+            # Held-out views were never measured/classed, and no single
+            # class's geometry is guaranteed to dominate the others
+            # element-wise (a class can have the widest k_top but a
+            # smaller k_lo or fewer level rows) — so measure the TEST
+            # views' actual loads and size an eval-specific geometry,
+            # exactly like the training autosizer (ADVICE r4 #1).
+            if auto_tiles:
+                ocfg_eval = _eval_geometry()
+            else:
+                ocfg_eval = max(class_ocfgs, key=lambda o: o.max_per_tile)
             m = evaluate_cameras(state, test_cams, sh_degree, background,
                                  ocfg_eval)
             if log_fn:

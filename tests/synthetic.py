@@ -76,6 +76,7 @@ def write_synthetic_scene(
     appearance_field: float = 0.0,
     jitter_holdout: int = 0,
     jitter_atten_only: bool = False,
+    rings=None,
 ):
     """Create `<out_dir>/{images/, sparse/0/*.bin}`; returns the true
     Gaussian tuple for oracle comparisons.
@@ -109,10 +110,26 @@ def write_synthetic_scene(
     imgs = {}
     from pcp_tpu.utils.graphics import rotmat_to_qvec
 
-    for i in range(n_cams):
-        ang = 2 * np.pi * i / n_cams
+    # ``rings``: optional [(radius, count), ...] replacing the single
+    # ring — e.g. a far ring plus a close-in ring gives two genuinely
+    # distinct per-view tile-load profiles (close views see fat splats
+    # concentrated in few tiles), the workload view classes exist for
+    # (binning.cluster_views). Default: one ring of ``n_cams``.
+    ring_of = []
+    if rings is None:
+        ring_radii = [(radius, n_cams)]
+    else:
+        ring_radii = list(rings)
+    cam_specs = []
+    for ring_idx, (r_ring, cnt) in enumerate(ring_radii):
+        for k in range(cnt):
+            cam_specs.append((r_ring, 2 * np.pi * k / cnt))
+            ring_of.append(ring_idx)
+
+    for i, (r_i, ang) in enumerate(cam_specs):
         pos = np.array(
-            [radius * np.cos(ang), radius * np.sin(ang), 1.5 + 0.5 * np.sin(3 * ang)]
+            [r_i * np.cos(ang), r_i * np.sin(ang),
+             1.5 * (r_i / radius) + 0.5 * (r_i / radius) * np.sin(3 * ang)]
         )
         R, t = look_at_w2c(pos, (0.0, 0.0, 0.0))
         img = render_true_scene(xyz, rgb, scales, quats, opac, R, t, fx, fy, W, H)

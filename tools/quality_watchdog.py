@@ -34,11 +34,33 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def newest_log_mtime(root):
-    logs = glob.glob(os.path.join(
+def newest_log_mtime(root, phase="train"):
+    """Newest progress artifact. Train/control phases write
+    train_log.jsonl every 100 iters; other phases (scene/partition/
+    eval) write no train log, so also watch their artifacts — without
+    this the watchdog SIGKILLs a healthy eval child forever
+    (ADVICE r4 #4)."""
+    pats = [os.path.join(
         root, "model", "split_result", "visible", "*", "partition_*",
-        "output_*", "train_log.jsonl"))
-    return max((os.path.getmtime(p) for p in logs), default=0.0)
+        "output_*", "train_log.jsonl")]
+    if phase not in ("train", "control"):
+        pats += [
+            os.path.join(root, "*.npz"),
+            os.path.join(root, "*.json"),
+            os.path.join(root, "sparse", "0", "*.bin"),
+            os.path.join(root, "images", "*.png"),
+            os.path.join(root, "model", "partition_data.pkl"),
+            os.path.join(root, "model", "split_result", "visible", "*",
+                         "partition_*", "output_*", "*.json"),
+            os.path.join(root, "model", "split_result", "visible", "*",
+                         "partition_*", "output_*", "renders*", "*"),
+            os.path.join(REPO, "QUALITY_*.json"),
+        ]
+    mt = 0.0
+    for p in pats:
+        mt = max(mt, max((os.path.getmtime(f) for f in glob.glob(p)),
+                         default=0.0))
+    return mt
 
 
 def chip_ok(timeout=75):
@@ -119,7 +141,8 @@ def main():
                 for d in stop_files(args.root):
                     open(os.path.join(d, "STOP"), "w").close()
                 stopped = True
-            stall = now - max(newest_log_mtime(args.root), child_start)
+            stall = now - max(newest_log_mtime(args.root, args.phase),
+                              child_start)
             if stall > args.stall_s:
                 print(f"[watchdog] no progress for {stall:.0f}s: killing "
                       f"child {child.pid}", flush=True)
