@@ -151,11 +151,16 @@ def _grss_fwd(pack, idc, counts, exact_ok):
 
 
 # PCP_SEGSUM selects the segment-sum backend inside _grss_bwd:
-#   "sentinel" (default) — the round-3 sort+cumsum+position-gather chain;
-#   "mosaic"             — gid-sort + in-kernel one-hot-MXU accumulation
+#   "mosaic" (default)   — gid-sort + in-kernel one-hot-MXU accumulation
 #                          (ops/segsum_pallas.sorted_segment_sum); TPU only,
-#                          falls back to sentinel elsewhere.
-_SEGSUM_IMPL = _os.environ.get("PCP_SEGSUM", "sentinel")
+#                          falls back to sentinel elsewhere. Measured at the
+#                          719k/1280x800/2^21 scale point (round 5, same
+#                          session, same auto geometry): full step 289.1 ms
+#                          vs 389.5 (sentinel+hint) vs 428.5 (round-4
+#                          sentinel); dpack rel err 3e-6 (split mode).
+#   "sentinel"           — the round-3 sort+cumsum+position-gather chain
+#                          (the CPU/interpret path, and the A/B reference).
+_SEGSUM_IMPL = _os.environ.get("PCP_SEGSUM", "mosaic")
 
 
 def _grss_bwd_mosaic(res, g):
@@ -176,7 +181,8 @@ def _grss_bwd_mosaic(res, g):
         (idc_flat, jnp.arange(m, dtype=jnp.int32)), num_keys=1,
         is_stable=False)
     gs = jnp.take(g.reshape(na, m), order, axis=1)
-    dpack = sorted_segment_sum(gs, s_gid, n)
+    dpack = sorted_segment_sum(
+        gs, s_gid, n, mode=_os.environ.get("PCP_SEGSUM_PREC", "split"))
     didc = np.zeros(idc.shape, dtype=jax.dtypes.float0)
     dcounts = np.zeros(res[2].shape, dtype=jax.dtypes.float0)
     dok = np.zeros((), dtype=jax.dtypes.float0)
@@ -236,7 +242,14 @@ def _grss_bwd(res, g):
     # ecs[:, pos_ext[:-1]]) XLA emits TWO ~30 ns/index column gathers over
     # n indices each (2 x 64 ms at 2^21 capacity, the largest ops in the
     # scale-point step); the shifted index sets differ so nothing CSEs.
-    sg = jnp.take(ecs, pos_ext, axis=1)
+    # pos_ext is strictly increasing by construction (both branches), so
+    # the gather may carry the sorted/in-bounds hints; PCP_POSGATHER_HINT=0
+    # restores the plain take for A/B.
+    if _os.environ.get("PCP_POSGATHER_HINT", "1") != "0":
+        sg = ecs.at[:, pos_ext].get(
+            indices_are_sorted=True, mode="promise_in_bounds")
+    else:
+        sg = jnp.take(ecs, pos_ext, axis=1)
     dpack = sg[:, 1:] - sg[:, :-1]
     didc = np.zeros(idc.shape, dtype=jax.dtypes.float0)
     dcounts = np.zeros(counts.shape, dtype=jax.dtypes.float0)

@@ -41,7 +41,7 @@ CHUNK = 2048    # input columns per inner step
 
 
 def _kernel(bounds_ref, gs_hbm, gid_hbm, out_ref, acc, gs_scr, gid_scr,
-            sems, *, na, gb, chunk, bf16):
+            sems, *, na, gb, chunk, mode):
     i = pl.program_id(0)
     # chunk-align the range start: Mosaic must PROVE the HBM slice
     # offset divisible by the lane tiling, so DMA from chunk multiples
@@ -55,42 +55,71 @@ def _kernel(bounds_ref, gs_hbm, gid_hbm, out_ref, acc, gs_scr, gid_scr,
 
     acc[...] = jnp.zeros_like(acc)
 
-    def body(c, _):
+    def dma(slot, c):
         start = pl.multiple_of(lo + c * chunk, chunk)
-        cp_g = pltpu.make_async_copy(
-            gs_hbm.at[:, pl.ds(start, chunk)], gs_scr, sems.at[0])
-        cp_i = pltpu.make_async_copy(
-            gid_hbm.at[:, pl.ds(start, chunk)], gid_scr, sems.at[1])
-        cp_g.start()
-        cp_i.start()
-        cp_g.wait()
-        cp_i.wait()
+        return (
+            pltpu.make_async_copy(
+                gs_hbm.at[:, pl.ds(start, chunk)], gs_scr.at[slot],
+                sems.at[0, slot]),
+            pltpu.make_async_copy(
+                gid_hbm.at[:, pl.ds(start, chunk)], gid_scr.at[slot],
+                sems.at[1, slot]),
+        )
+
+    @pl.when(nchunks > 0)
+    def _():
+        for cp in dma(0, 0):
+            cp.start()
+
+    def body(c, _):
+        slot = jax.lax.rem(c, 2)
+        start = lo + c * chunk
+
+        @pl.when(c + 1 < nchunks)
+        def _():
+            for cp in dma(1 - slot, c + 1):
+                cp.start()
+
+        for cp in dma(slot, c):
+            cp.wait()
         # one-hot in (gb, chunk) orientation: the (1, chunk) gid row
         # broadcasts along sublanes (Mosaic can't lane<->sublane reshape
         # i1 vectors), and the matmul contracts dim 1 of BOTH operands
         # so no operand ever needs an explicit transpose/reshape here.
         col = jax.lax.broadcasted_iota(jnp.int32, (gb, chunk), 1)
         valid = (start + col) < hi                       # (gb, chunk)
-        rel = gid_scr[...] - base                        # (1, chunk)
+        rel = gid_scr[slot] - base                       # (1, chunk)
         iota_g = jax.lax.broadcasted_iota(jnp.int32, (gb, chunk), 0)
         onehot = (rel == iota_g) & valid                 # (gb, chunk)
-        gs_c = gs_scr[...]
-        if bf16:
-            onehot_m = onehot.astype(jnp.bfloat16)
-            gs_m = gs_c.astype(jnp.bfloat16)
-        else:
-            onehot_m = onehot.astype(jnp.float32)
-            gs_m = gs_c
-        acc[...] += jax.lax.dot_general(
-            gs_m, onehot_m, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
+        gs_c = gs_scr[slot]
+
+        def mm(x):
+            return jax.lax.dot_general(
+                x, onehot.astype(x.dtype), (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
+        if mode == "bf16":
+            acc[...] += mm(gs_c.astype(jnp.bfloat16))
+        elif mode == "split":
+            # error-compensated bf16: hi = round(g), lo = g - hi exactly
+            # representable; two bf16-rate matmuls recover ~16 mantissa
+            # bits (the one-hot is exact in bf16)
+            g_hi = gs_c.astype(jnp.bfloat16)
+            g_lo = (gs_c - g_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            acc[...] += mm(g_hi) + mm(g_lo)
+        else:  # f32: force full-precision operand passes
+            acc[...] += jax.lax.dot_general(
+                gs_c, onehot.astype(jnp.float32),
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
         return _
 
     jax.lax.fori_loop(0, nchunks, body, None)
     out_ref[...] = acc[...]
 
 
-def sorted_segment_sum(gs, s_gid, n, *, gb=GB, chunk=CHUNK, bf16=False,
+def sorted_segment_sum(gs, s_gid, n, *, gb=GB, chunk=CHUNK, mode="split",
                        interpret=False):
     """Segment-sum of gid-sorted columns.
 
@@ -98,6 +127,9 @@ def sorted_segment_sum(gs, s_gid, n, *, gb=GB, chunk=CHUNK, bf16=False,
     s_gid: (M,) int32 — the sorted gids, values in [0, n) (pads may use
         >= n; they are ignored).
     n: static output width (slot capacity). Returns (NA, M->n) f32.
+    mode: "bf16" (fastest, ~2e-3 rel err), "split" (default:
+        error-compensated two-pass bf16, ~1e-5 rel err at 2x matmul
+        cost), or "f32" (Precision.HIGHEST operand passes).
     """
     na, m = gs.shape
     assert n % gb == 0, (n, gb)
@@ -123,12 +155,12 @@ def sorted_segment_sum(gs, s_gid, n, *, gb=GB, chunk=CHUNK, bf16=False,
         out_specs=pl.BlockSpec((nap, gb), lambda i, b: (0, i)),
         scratch_shapes=[
             pltpu.VMEM((nap, gb), jnp.float32),
-            pltpu.VMEM((nap, chunk), gs.dtype),
-            pltpu.VMEM((1, chunk), jnp.int32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((2, nap, chunk), gs.dtype),
+            pltpu.VMEM((2, 1, chunk), jnp.int32),
+            pltpu.SemaphoreType.DMA((2, 2)),
         ],
     )
-    kern = functools.partial(_kernel, na=nap, gb=gb, chunk=chunk, bf16=bf16)
+    kern = functools.partial(_kernel, na=nap, gb=gb, chunk=chunk, mode=mode)
     return pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct((nap, n), jnp.float32),

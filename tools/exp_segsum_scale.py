@@ -173,16 +173,17 @@ def main():
     from pcp_tpu.ops.segsum_pallas import sorted_segment_sum
 
     ref = None
-    for nm, bf in (("kernel_f32", False), ("kernel_bf16", True)):
+    for nm, md in (("kernel_split", "split"), ("kernel_bf16", "bf16"),
+                   ("kernel_f32", "f32")):
         if not on(nm):
             continue
         dt = timed(nm,
-                   lambda s, a, ii, _bf=bf: dig(sorted_segment_sum(
-                       a + s, ii, N, bf16=_bf)), gs, s_gid)
+                   lambda s, a, ii, _md=md: dig(sorted_segment_sum(
+                       a + s, ii, N, mode=_md)), gs, s_gid)
         if dt is not None:
             out = jax.jit(
-                lambda a, ii, _bf=bf: sorted_segment_sum(
-                    a, ii, N, bf16=_bf))(gs, s_gid)
+                lambda a, ii, _md=md: sorted_segment_sum(
+                    a, ii, N, mode=_md))(gs, s_gid)
             if ref is None:
                 z = jnp.zeros((9, N), jnp.float32)
                 ref = jax.jit(

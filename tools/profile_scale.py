@@ -46,6 +46,9 @@ def main():
                          "scene exactly like the training re-tuner")
     ap.add_argument("--w", type=int, default=1280)
     ap.add_argument("--h", type=int, default=800)
+    ap.add_argument("--fast", action="store_true",
+                    help="skip isolated stages; only forward / fwd_bwd / "
+                         "full_step (end-to-end A/B iterations)")
     args = ap.parse_args()
 
     import jax
@@ -152,7 +155,10 @@ def main():
                        intrin, (W, H), 3)
         return x + 1e-12 * p["depths"][:, None], p["rect"], p["depths"]
 
-    out = timeit("preprocess_ms", lambda s: prep_fn(s[0] if isinstance(s, tuple) else s), params["xyz"])
+    if args.fast:
+        out = jax.jit(prep_fn)(params["xyz"])
+    else:
+        out = timeit("preprocess_ms", lambda s: prep_fn(s[0] if isinstance(s, tuple) else s), params["xyz"])
     rect, depths = out[1], out[2]
 
     # stage: binning (whole)
@@ -170,7 +176,10 @@ def main():
                                       pair_levels=pair_lv)
         return d + 0 * b.n_pairs.astype(d.dtype), b.n_pairs, b.max_tile_load
 
-    r = timeit("binning_ms", lambda s: bin_fn(s[0] if isinstance(s, tuple) else s), depths)
+    if args.fast:
+        r = jax.jit(bin_fn)(depths)
+    else:
+        r = timeit("binning_ms", lambda s: bin_fn(s[0] if isinstance(s, tuple) else s), depths)
     results["n_pairs"] = int(r[1])
     results["max_tile_load"] = int(r[2])
 
@@ -197,9 +206,11 @@ def main():
                                     tiles_x, depth_bits)
         return d + 1e-12 * key_a[0].astype(jnp.float32), key_a, pay_a
 
-    e = timeit("expandA_ms", lambda s: expand_fn(s[0] if isinstance(s, tuple) else s), depths)
-    key_a, pay_a = e[1], e[2]
-    results["key_slots_A"] = int(key_a.shape[0])
+    e = None
+    if not args.fast:
+        e = timeit("expandA_ms", lambda s: expand_fn(s[0] if isinstance(s, tuple) else s), depths)
+        key_a, pay_a = e[1], e[2]
+        results["key_slots_A"] = int(key_a.shape[0])
 
     # binning sub-stage: the sort alone at full v2 slot count
     total_slots = binning.expansion_key_slots(rect.shape[0], num_tiles,
@@ -215,8 +226,9 @@ def main():
         sk, sp = jax.lax.sort((k, pays0), num_keys=1, is_stable=False)
         return sk, sp
 
-    timeit("sort_ms", lambda s: sort_fn(s[0] if isinstance(s, tuple) else s),
-           keys0)
+    if not args.fast:
+        timeit("sort_ms", lambda s: sort_fn(s[0] if isinstance(s, tuple) else s),
+               keys0)
 
     # stage: full forward
     @jax.jit

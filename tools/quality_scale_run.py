@@ -306,11 +306,13 @@ def hbm_stats():
         import jax
 
         s = jax.local_devices()[0].memory_stats()
+        if not s:  # axon returns None rather than raising
+            return {"unavailable": True}
         return {"bytes_in_use": int(s.get("bytes_in_use", -1)),
                 "peak_bytes_in_use": int(s.get("peak_bytes_in_use", -1)),
                 "bytes_limit": int(s.get("bytes_limit", -1))}
-    except Exception as e:  # axon plugin may not expose memory_stats
-        return {"error": str(e)}
+    except Exception:  # axon plugin may not expose memory_stats
+        return {"unavailable": True}
 
 
 def phase_eval(root, block_id, variants, out_json):
@@ -425,19 +427,35 @@ def phase_eval(root, block_id, variants, out_json):
             print(f"skip {name}: no readable PLY under {out_dir}")
             continue
 
-        # step-time / population curve from the training JSONL
-        curve = []
+        # step-time / population curve from the training JSONL. The log
+        # is APPENDED across watchdog relaunches, so the same iteration
+        # can appear several times — keep the LAST occurrence (the run
+        # that actually carried the state forward) and sort by iter.
+        # Wall minutes likewise accumulate across relaunches: sum the
+        # inter-row timestamp deltas, capping any single gap at 5 min so
+        # tunnel-wedge recoveries don't count as training time.
+        by_iter = {}
+        measured_wall_s = 0.0
+        prev_ts = None
         log_p = os.path.join(out_dir, "train_log.jsonl")
         if os.path.exists(log_p):
             for ln in open(log_p):
                 r = json.loads(ln)
+                if "ts" in r:
+                    if prev_ts is not None:
+                        measured_wall_s += min(max(r["ts"] - prev_ts, 0.0),
+                                               300.0)
+                    prev_ts = r["ts"]
                 if "total_points" in r and r["step"] % 1000 == 0:
-                    curve.append({
+                    by_iter[r["step"]] = {
                         "iter": r["step"],
                         "alive": int(r["total_points"]),
                         "step_ms": round(1000 * r.get("iter_time", 0), 1),
                         "n_pairs": int(r.get("n_pairs", 0)),
-                    })
+                    }
+        curve = [by_iter[k] for k in sorted(by_iter)]
+        if wall_min < 0 and measured_wall_s > 0:
+            wall_min = measured_wall_s / 60.0
         evals = {}
         for p in glob.glob(os.path.join(out_dir, "eval_*.json")):
             it = os.path.basename(p)[len("eval_"):-len(".json")]
