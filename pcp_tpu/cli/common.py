@@ -57,6 +57,11 @@ def add_pipeline_args(p: argparse.ArgumentParser) -> None:
                         "step inputs to nan_snapshot_<it>.npz and abort "
                         "(reference --detect_anomaly + snapshot dumps)")
     p.add_argument("--no_appearance", action="store_true")
+    p.add_argument("--share_appearance", action="store_true",
+                   help="fleet: ONE appearance net/embeddings replicated "
+                        "across blocks with psum-reduced grads (fixes the "
+                        "reference's per-block exposure divergence / merge "
+                        "seams; default keeps reference per-block nets)")
 
 
 def config_from_args(args) -> TrainRunConfig:
@@ -82,6 +87,7 @@ def config_from_args(args) -> TrainRunConfig:
         compute_cov3D_python=getattr(args, "compute_cov3D_python", False),
         debug=getattr(args, "debug", False),
         use_appearance=not getattr(args, "no_appearance", False),
+        share_appearance=getattr(args, "share_appearance", False),
     )
     return TrainRunConfig(model=mc, optim=oc, pipeline=pc)
 

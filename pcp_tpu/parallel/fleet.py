@@ -88,18 +88,52 @@ def shard_fleet(fleet: FleetState, mesh: Mesh) -> FleetState:
     return jax.tree_util.tree_map(put, fleet)
 
 
+def _shared_app_reduce(valid):
+    """Cross-block appearance-gradient reduction for the shared-appearance
+    fleet (round-4 verdict's designed fix for the multi-block radiance
+    seams: /root/reference per-block processes train INDEPENDENT
+    appearance nets — auto_train.py:22-51 + train.py:111-117 — whose
+    effective exposures diverge and leave block-boundary seams after
+    merge; replicating ONE appearance state across the fleet's block
+    axes is impossible for the reference and natural here).
+
+    Embedding rows are per-VIEW and each view belongs to exactly one
+    block, so their grads PSUM (each row keeps its single contribution
+    at single-model scale); the shared CNN's grads average over the
+    valid blocks (batch-of-B semantics). Pad blocks (valid=False,
+    duplicates of the last real block) are zero-weighted so they can't
+    double-count."""
+    v = valid.astype(jnp.float32)
+    axes = ("lblocks", "blocks")
+
+    def hook(g_app):
+        nv = jax.lax.psum(v, axes)
+        scaled = jax.tree_util.tree_map(lambda g: g * v, g_app)
+        emb = jax.lax.psum(scaled["embeddings"], axes)
+        net = jax.tree_util.tree_map(
+            lambda g: jax.lax.psum(g, axes) / jnp.maximum(nv, 1.0),
+            scaled["net"])
+        return {"embeddings": emb, "net": net}
+
+    return hook
+
+
 def make_fleet_step(
     ocfg: OptimConfig,
     image_size,
     mesh: Mesh,
     *,
     use_appearance: bool = True,
+    share_appearance: bool = False,
 ):
     """Compile the SPMD fleet step.
 
     Inputs per call: fleet (sharded), viewmats (B,4,4), intrins (B,4 stacked
     CameraIntrin), gts (B,H,W,3), view_idx (B,), background (3,), sh_degree
-    (static). One XLA program; no collectives in the hot path.
+    (static). One XLA program; no collectives in the hot path — except
+    ``share_appearance``, which adds one psum of the (small) appearance
+    grads per step so every block applies identical appearance updates
+    (see _shared_app_reduce; init must replicate one appearance state).
     """
     impl = functools.partial(
         train_step_impl,
@@ -109,19 +143,23 @@ def make_fleet_step(
     )
 
     def per_block(state, viewmat, intrin, gt, view_idx, background, extent,
-                  valid_wh, sh_degree):
+                  valid_wh, valid, sh_degree):
+        hook = (_shared_app_reduce(valid)
+                if share_appearance and use_appearance else None)
         return impl(
             state, viewmat, intrin, gt, view_idx, background, extent,
-            sh_degree=sh_degree, valid_wh=valid_wh,
+            sh_degree=sh_degree, valid_wh=valid_wh, app_grad_reduce=hook,
         )
 
     def local_shard(fleet_state, extents, viewmats, intrins, gts, view_idx,
-                    valid_whs, background, sh_degree):
+                    valid_whs, valid_b, background, sh_degree):
         return jax.vmap(
-            lambda s, e, vm, it, g, vi, wh: per_block(
-                s, vm, it, g, vi, background, e, wh, sh_degree
-            )
-        )(fleet_state, extents, viewmats, intrins, gts, view_idx, valid_whs)
+            lambda s, e, vm, it, g, vi, wh, vb: per_block(
+                s, vm, it, g, vi, background, e, wh, vb, sh_degree
+            ),
+            axis_name="lblocks",
+        )(fleet_state, extents, viewmats, intrins, gts, view_idx, valid_whs,
+          valid_b)
 
     spec_b = P("blocks")
     spec_r = P()
@@ -133,13 +171,13 @@ def make_fleet_step(
             functools.partial(local_shard, sh_degree=sh_degree),
             mesh=mesh,
             in_specs=(spec_b, spec_b, spec_b, spec_b, spec_b, spec_b, spec_b,
-                      spec_r),
+                      spec_b, spec_r),
             out_specs=(spec_b, spec_b),
             check_vma=False,
         )
         new_state, metrics = f(
             fleet.state, fleet.extents, viewmats, intrins, gts, view_idx,
-            valid_whs, background,
+            valid_whs, fleet.valid, background,
         )
         return FleetState(new_state, fleet.extents, fleet.valid), metrics
 
@@ -322,6 +360,7 @@ def make_fleet_step_banked(
     mesh: Mesh,
     *,
     use_appearance: bool = True,
+    share_appearance: bool = False,
 ):
     """Fleet step reading cameras from a device-resident CameraBank; the
     host supplies only (B,) per-block camera indices per step."""
@@ -333,18 +372,23 @@ def make_fleet_step_banked(
     )
 
     def local_shard(fleet_state, extents, bank: CameraBank, cam_idx,
-                    background, sh_degree):
-        def per_block(s, e, bk, ci):
+                    valid_b, background, sh_degree):
+        def per_block(s, e, bk, ci, vb):
             ci = ci % jnp.maximum(bk.n_cams, 1)
             intrin = CameraIntrin(bk.fx[ci], bk.fy[ci], bk.cx[ci], bk.cy[ci])
+            hook = (_shared_app_reduce(vb)
+                    if share_appearance and use_appearance else None)
             return impl(
                 s, bk.viewmats[ci], intrin, bk.gts[ci], bk.uid[ci],
                 background, e, sh_degree=sh_degree, valid_wh=bk.wh[ci],
+                app_grad_reduce=hook,
             )
 
         return jax.vmap(
-            lambda s, e, *bk_ci: per_block(s, e, CameraBank(*bk_ci[:-1]), bk_ci[-1])
-        )(fleet_state, extents, *bank, cam_idx)
+            lambda s, e, *bk_ci: per_block(
+                s, e, CameraBank(*bk_ci[:-2]), bk_ci[-2], bk_ci[-1]),
+            axis_name="lblocks",
+        )(fleet_state, extents, *bank, cam_idx, valid_b)
 
     spec_b = P("blocks")
 
@@ -355,12 +399,12 @@ def make_fleet_step_banked(
             functools.partial(local_shard, sh_degree=sh_degree),
             mesh=mesh,
             in_specs=(spec_b, spec_b, jax.tree_util.tree_map(lambda _: spec_b, bank),
-                      spec_b, P()),
+                      spec_b, spec_b, P()),
             out_specs=(spec_b, spec_b),
             check_vma=False,
         )
         new_state, metrics = f(
-            fleet.state, fleet.extents, bank, cam_idx, background
+            fleet.state, fleet.extents, bank, cam_idx, fleet.valid, background
         )
         return FleetState(new_state, fleet.extents, fleet.valid), metrics
 
@@ -430,6 +474,8 @@ def train_blocks_parallel(
         log_fn(f"fleet: {len(sizes)} camera resolutions; padding to "
                f"{w}x{h} with per-camera loss masks")
 
+    share_app = bool(getattr(cfg.pipeline, "share_appearance", False)
+                     and cfg.pipeline.use_appearance)
     key = jax.random.PRNGKey(seed)
     states, extents = [], []
     start_iter = 0
@@ -437,6 +483,11 @@ def train_blocks_parallel(
     for bi, scene in enumerate(block_scenes):
         key, k = jax.random.split(key)
         st = init_state(scene, cfg, (w, h), k)
+        if share_app and states:
+            # ONE appearance state replicated across blocks: identical
+            # init + identical (psum-reduced) grads keep every block's
+            # copy in bitwise lockstep for the whole run
+            st = st._replace(app=states[0].app, opt_a=states[0].opt_a)
         if resume and block_dirs:
             path = _os.path.join(block_dirs[bi], FLEET_CKPT_NAME)
             if _os.path.exists(path):
@@ -520,11 +571,13 @@ def train_blocks_parallel(
     def _build_fns(oc):
         if device_data:
             step = make_fleet_step_banked(
-                oc, (w, h), mesh, use_appearance=cfg.pipeline.use_appearance
+                oc, (w, h), mesh, use_appearance=cfg.pipeline.use_appearance,
+                share_appearance=share_app,
             )
         else:
             step = make_fleet_step(
-                oc, (w, h), mesh, use_appearance=cfg.pipeline.use_appearance
+                oc, (w, h), mesh, use_appearance=cfg.pipeline.use_appearance,
+                share_appearance=share_app,
             )
         return step, make_fleet_densify(oc, mesh)
 

@@ -115,6 +115,14 @@ class PipelineConfig:
     compute_cov3D_python: bool = False
     debug: bool = False
     use_appearance: bool = True
+    # Fleet-only: replicate ONE appearance net + embedding table across
+    # all blocks with psum-reduced gradients (parallel/fleet.py
+    # _shared_app_reduce). The reference's per-block independent nets
+    # (auto_train.py:22-51, train.py:111-117) diverge in effective
+    # exposure and leave merged block-boundary radiance seams — sharing
+    # is impossible for its per-process design, natural on a mesh.
+    # Default False = reference semantics.
+    share_appearance: bool = False
     # Appearance-map output range: the map is app_map_scale * sigmoid(x)
     # (models/appearance.py). Captured from PCP_APP_MAP_SCALE at config
     # build so the value persists in cfg_args — a model trained with

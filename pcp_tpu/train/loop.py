@@ -429,7 +429,12 @@ def train_scene(
     # GT-image residency (reference data_device, arguments/__init__.py:57):
     # "device" uploads each train image once and reuses the device buffer
     # every epoch; "host" re-uploads per step for scenes whose image set
-    # exceeds HBM headroom.
+    # exceeds HBM headroom. Device-resident images are stored as uint8 —
+    # the on-disk sources are 8-bit PNG/JPG, so u8 round-trips them
+    # exactly at 1/4 the HBM (a 59-view 1MP bank drops 723 -> 181 MB;
+    # the step casts back to f32 in-graph, which XLA fuses into the
+    # loss). Images whose values fall outside [0, 1] (float EXR-style
+    # sources) stay f32.
     gt_dev: Dict[int, jnp.ndarray] = {}
 
     def gt_of(cam):
@@ -437,7 +442,10 @@ def train_scene(
             return jnp.asarray(cam.gt_image)
         buf = gt_dev.get(cam.uid)
         if buf is None:
-            buf = gt_dev.setdefault(cam.uid, jnp.asarray(cam.gt_image))
+            img = np.asarray(cam.gt_image)
+            if img.dtype != np.uint8 and img.min() >= 0.0 and img.max() <= 1.0:
+                img = np.round(img * 255.0).astype(np.uint8)
+            buf = gt_dev.setdefault(cam.uid, jnp.asarray(img))
         return buf
     for it in range(start_iter + 1, ocfg.iterations + 1):
         if viewer is not None:

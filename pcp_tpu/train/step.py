@@ -141,6 +141,7 @@ def train_step_impl(
     sh_degree: int,
     use_appearance: bool,
     valid_wh=None,
+    app_grad_reduce=None,
 ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
     """Pure step body (train.py:94-157). See module docstring.
 
@@ -148,8 +149,18 @@ def train_step_impl(
     training: the camera's true (w, h) inside a padded (image_size) frame.
     L1/SSIM are exact w.r.t. the native resolution (zero-padded convs);
     appearance decoupling sees the zero-padded frame (exact when unmasked).
+
+    ``app_grad_reduce`` (optional fn g_app -> g_app): cross-block
+    reduction hook for the appearance gradients — the fleet's
+    shared-appearance mode psums/pmeans them over the block axes BEFORE
+    the Adam update, so replicated appearance state stays in lockstep
+    (parallel/fleet.py make_fleet_step(share_appearance=True)).
     """
     w, h = int(image_size[0]), int(image_size[1])
+    if gt.dtype == jnp.uint8:
+        # device-resident GT banks store u8 (loop.gt_of); the sources are
+        # 8-bit images, so u8 -> f32/255 reproduces them exactly
+        gt = gt.astype(jnp.float32) / 255.0
     lrs_g = gaussian_lrs(ocfg, extent)
     lrs_a = appearance_lrs(ocfg)
     probe0 = jnp.zeros_like(state.params["xyz"][:, :2])
@@ -216,6 +227,8 @@ def train_step_impl(
 
     params, opt_g = optim.adam_step(state.params, g_gauss, state.opt_g, lrs_g)
     if use_appearance and state.app is not None:
+        if app_grad_reduce is not None:
+            g_app = app_grad_reduce(g_app)
         app, opt_a = optim.adam_step_grouped(state.app, g_app, state.opt_a,
                                              lrs_a)
     else:

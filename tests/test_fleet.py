@@ -245,3 +245,56 @@ def test_fleet_checkpoint_resume(synth, tmp_path):
         st0 = init_state(block_scenes[0], cfg, (64, 48), jax.random.PRNGKey(0))
         _, it = ckpt.load(os.path.join(d, FLEET_CKPT_NAME), st0)
         assert it == 60
+
+
+def test_shared_appearance_lockstep(synth, tmp_path):
+    """share_appearance=True: every block's appearance state is bitwise
+    identical after training (identical init + psum-reduced grads =>
+    identical per-view appearance maps across blocks — the fix for the
+    reference's per-block exposure divergence); without sharing the
+    per-block nets diverge."""
+    from pcp_tpu.partition.pipeline import PartitionConfig, run_partition
+    from pcp_tpu.scene import load_colmap_scene
+    import os
+
+    scene = load_colmap_scene(synth)
+    run_partition(
+        scene, str(tmp_path / "model"),
+        PartitionConfig(threshold=40, expansion_distance=10.0,
+                        visible_rate=0.05, remove_outliers=False,
+                        make_plots=False),
+        export=True, save_test=False,
+    )
+    base = os.path.join(str(tmp_path / "model"), "split_result", "visible")
+    block_scenes = []
+    for bid in sorted(os.listdir(base)):
+        bdir = os.path.join(base, bid, f"partition_{bid}")
+        sc = load_colmap_scene(bdir)
+        if sc.cameras:
+            block_scenes.append(sc)
+    assert len(block_scenes) >= 2
+
+    def run(share):
+        cfg = _cfg()
+        cfg.pipeline = PipelineConfig(use_appearance=True,
+                                      share_appearance=share)
+        cfg.optim.iterations = 25
+        cfg.optim.densify_from_iter = 10_000
+        return train_blocks_parallel(
+            block_scenes, cfg, mesh=block_mesh(4), log_fn=None)
+
+    shared = run(True)
+    app0 = jax.tree_util.tree_leaves(shared[0].app)
+    for st in shared[1:]:
+        for a, b in zip(app0, jax.tree_util.tree_leaves(st.app)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert all(np.isfinite(np.asarray(a)).all() for a in app0)
+
+    indep = run(False)
+    diverged = False
+    for st in indep[1:]:
+        for a, b in zip(jax.tree_util.tree_leaves(indep[0].app),
+                        jax.tree_util.tree_leaves(st.app)):
+            if not np.array_equal(np.asarray(a), np.asarray(b)):
+                diverged = True
+    assert diverged

@@ -65,7 +65,7 @@ def lpips_weights_path(scene_dir):
 
 
 def run_variant(scene_dir, name, iters, densify: bool,
-                appearance: bool = True):
+                appearance: bool = True, share_appearance: bool = False):
     from pcp_tpu.cli import auto_train, merge, metrics, render
 
     t0 = time.time()
@@ -78,8 +78,13 @@ def run_variant(scene_dir, name, iters, densify: bool,
         if densify else
         ["--densify_from_iter", str(10 * iters)]
     )
+    # shared appearance exists only on the fleet path (one appearance
+    # state psum-replicated across the block mesh axis); the per-block
+    # variants keep --sequential = the reference's independent processes
+    mode_args = (["--share_appearance"] if share_appearance
+                 else ["--sequential"])
     auto_train.main([
-        "--base_path", visible, "--sequential",
+        "--base_path", visible, *mode_args,
         "--iterations", str(iters),
         "--capacity", str(CAPACITY), "--max_per_tile", "512",
         "--resolution", "1",
@@ -132,6 +137,19 @@ def _partition(scene):
 
 
 def main():
+    # QR_CPU=1: run the whole pipeline on N virtual CPU devices (the
+    # chip may be held by the scale quality run; this A/B is small).
+    if _os.environ.get("QR_CPU"):
+        nd = int(_os.environ.get("QR_CPU_DEVICES", "2"))
+        flags = _os.environ.get("XLA_FLAGS", "")
+        if "host_platform_device_count" not in flags:
+            _os.environ["XLA_FLAGS"] = (
+                flags + f" --xla_force_host_platform_device_count={nd}"
+            ).strip()
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
     ap = argparse.ArgumentParser()
     ap.add_argument("--scene", default="/tmp/quality_scene")
     ap.add_argument("--iters", type=int, default=ITERS)
@@ -172,11 +190,14 @@ def main():
                 appearance_field=0.6, jitter_holdout=LLFFHOLD,
             )
             print(f"jitter scene written: {jscene}")
-        for name, app in [("jitter_appearance_on", True),
-                          ("jitter_appearance_off", False)]:
+        for name, app, share in [
+                ("jitter_appearance_shared", True, True),
+                ("jitter_appearance_on", True, False),
+                ("jitter_appearance_off", False, False)]:
             _partition(jscene)
             rows.append(run_variant(jscene, name, args.app_iters,
-                                    densify=True, appearance=app))
+                                    densify=True, appearance=app,
+                                    share_appearance=share))
             print(json.dumps(rows[-1]))
 
     out = {
