@@ -230,6 +230,12 @@ def train_scene(
     # right-sizing"). Densify growth is covered by the headroom + the
     # saturation warning below.
     auto_tiles = ocfg.max_per_tile == 0
+    # Escalating safety margin for the measured pair-expansion bands: a
+    # band sized at 1.3x the max over SAMPLED views can still overflow on
+    # an unsampled view, and every reactive re-tune recompiles (~minutes
+    # through a remote-compile tunnel). Each overflow-armed re-tune
+    # widens the margin so the churn provably terminates.
+    band_headroom = 1.3
     # view-class geometry (OptimConfig.view_classes > 1): cluster views by
     # load profile, one compiled step per class (binning.cluster_views)
     n_view_classes = max(1, int(getattr(ocfg, "view_classes", 1))) \
@@ -258,7 +264,11 @@ def train_scene(
 
         pool = cams if from_cams is None else from_cams
         sample = pool[:: max(1, len(pool) // n_sample)][:n_sample]
-        sh_a = G.sh_coeffs(state.params)
+        # tile rects depend on geometry only, never on SH color — measure
+        # at degree 0 with the DC band alone. Eagerly materializing the
+        # full (capacity, 16, 3) SH concat here was a 400 MB HBM spike on
+        # top of live step buffers (OOM at the reference operating point;
+        # the fleet's make_fleet_loads already measures at degree 0).
         out, bands = [], []
         for cam in sample:
             viewmat_s, intrin_s = cam_mod.camera_device_arrays(cam)
@@ -267,8 +277,8 @@ def train_scene(
             ld, bc = loads_fn(
                 state.params["xyz"], state.params["scaling"],
                 state.params["rotation"], state.params["opacity"],
-                state.alive, sh_a, viewmat_s, intrin_s,
-                (cam.width, cam.height), cfg.model.sh_degree, tx, ty)
+                state.alive, state.params["f_dc"], viewmat_s, intrin_s,
+                (cam.width, cam.height), 0, tx, ty)
             out.append(np.asarray(ld))
             bands.append(np.asarray(bc))
         num_tiles = max(a.shape[0] for a in out)
@@ -287,7 +297,7 @@ def train_scene(
         from pcp_tpu.train.config import format_tile_levels
 
         loads, num_tiles, band_counts, sampled = _sample_loads(
-            48 if n_view_classes > 1 else 8)
+            48 if n_view_classes > 1 else 16)
         # alive-scaled class tables: bound the binning expansion by the
         # live population (densify headroom 1.5x, snapped to 64k so small
         # drift doesn't churn recompiles); capacity-scaled when the bound
@@ -303,7 +313,8 @@ def train_scene(
             rows = labels == c
             k0, levels = choose_tile_levels(loads[rows], num_tiles)
             k_top = levels[-1][0] if levels else k0
-            plv = choose_pair_levels(band_counts[rows])
+            plv = choose_pair_levels(band_counts[rows],
+                                     headroom=band_headroom)
             ocfgs.append(_dc.replace(
                 ocfg, max_per_tile=k_top,
                 tile_k_lo=k0 if levels else 0,
@@ -554,6 +565,9 @@ def train_scene(
                 if auto_tiles and ocfg_step.active_cap > 0:
                     # population outgrew the alive-scaled bound between
                     # re-tunes: re-tune now instead of waiting the cadence
+                    # (with a wider band margin, so repeated re-tunes
+                    # converge instead of churning recompiles)
+                    band_headroom = min(band_headroom * 1.25, 3.0)
                     retune_at.add(it + 1)
                     force_retune.add(it + 1)
             if bool(metrics.get("tile_saturated", False)):

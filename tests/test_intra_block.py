@@ -209,3 +209,63 @@ def test_sharded_trainer_checkpoint_resume(tmp_path):
              for ln in open(os.path.join(out, "train_log.jsonl"))]
     assert min(steps) == 1 and max(steps) == 40
     assert np.isfinite(np.asarray(state.params["xyz"])).all()
+
+
+def test_sharded_reactive_retune_fixes_saturation(tmp_path, monkeypatch):
+    """The intra-block trainer's reactive re-tune (the sharded port of the
+    fleet's, parallel/intra_block.py _autosize_k): a crippled init
+    geometry (k=128 below the scene's real load) must trigger a
+    saturation warning, a forced re-tune at the next iteration whose
+    REAL measurement adopts a covering k, and a saturation-free tail —
+    mirrors test_fleet_autosize::test_fleet_reactive_retune_fixes_saturation
+    one layer down (round-4 verdict weak #3)."""
+    from tests.synthetic import write_synthetic_scene
+
+    from pcp_tpu.ops import binning as binning_mod
+    from pcp_tpu.parallel.intra_block import gauss_mesh, train_scene_sharded
+    from pcp_tpu.scene import load_colmap_scene
+    from pcp_tpu.train.config import (
+        ModelConfig,
+        OptimConfig,
+        PipelineConfig,
+        TrainRunConfig,
+    )
+
+    scene_dir = tmp_path / "scene"
+    # a dense close-ring scene: per-band-tile loads far above 128
+    write_synthetic_scene(str(scene_dir), np.random.default_rng(3),
+                          n_points=600, n_cams=6, W=64, H=48, radius=2.0)
+    scene = load_colmap_scene(str(scene_dir))
+
+    real_cap_fit = binning_mod._cap_fit
+    calls = []
+
+    def crippled_first(maxload, cap, chunk):
+        calls.append(int(maxload))
+        if len(calls) == 1:
+            return 128
+        return real_cap_fit(maxload, cap, chunk)
+
+    monkeypatch.setattr(binning_mod, "_cap_fit", crippled_first)
+    monkeypatch.setenv("PCP_RETUNE", "0")       # reactive path only
+
+    cfg = TrainRunConfig(
+        model=ModelConfig(source_path=str(scene_dir),
+                          model_path=str(tmp_path / "out"), resolution=1,
+                          sh_degree=1),
+        optim=OptimConfig(
+            iterations=210, capacity=1024, max_per_tile=0,
+            pairs_per_gaussian=64, densify_from_iter=10_000,
+        ),
+        pipeline=PipelineConfig(use_appearance=False),
+        test_iterations=[], save_iterations=[],
+    )
+    logs = []
+    train_scene_sharded(scene, cfg, gauss_mesh(4), log_fn=logs.append)
+    joined = "\n".join(logs)
+    assert "auto max_per_tile (init) -> 128" in joined, logs[:4]
+    assert "per-tile saturation" in joined
+    assert "[retune] sharded iter" in joined
+    assert len(calls) >= 2
+    tail = joined.split("[retune] sharded iter", 1)[1]
+    assert "per-tile saturation" not in tail
