@@ -60,25 +60,49 @@ def _run_point(n_points, warmup, iters, seed=0, max_per_tile=None):
     )
 
     k_lo = t_hi = 0
+    levels_s = pair_s = ""
+    acap = 0
     if max_per_tile is None:
-        # size the two-level tables from the actual per-tile loads (the
-        # production --max_per_tile 0 path) so every point is drop-free
-        from pcp_tpu.ops.binning import autosize_tile_classes
+        # size the geometry EXACTLY like the production --max_per_tile 0
+        # trainer (train/loop._autosize): measured N-level tile tables,
+        # measured footprint pair bands, alive-scaled expansion bound
+        from pcp_tpu.ops.binning import (choose_pair_levels,
+                                         choose_tile_levels,
+                                         footprint_band_counts_device,
+                                         tile_loads_device)
         from pcp_tpu.ops.projection import TILE, preprocess
+        from pcp_tpu.train.config import format_tile_levels
 
-        prep = jax.jit(preprocess, static_argnums=(7, 8))(
-            params["xyz"], G.scaling_act(params["scaling"]),
-            params["rotation"],
-            G.opacity_act(params["opacity"])[:, 0] * alive.astype(np.float32),
-            G.sh_coeffs(params), viewmat, intrin, (BS.W, BS.H), 3)
-        k_lo, max_per_tile, t_hi = autosize_tile_classes(
-            [(np.asarray(prep["rect"]), (BS.W + TILE - 1) // TILE,
-              (BS.H + TILE - 1) // TILE)], headroom=1.15)
-        if t_hi == 0:
-            k_lo = 0
+        tx = (BS.W + TILE - 1) // TILE
+        ty = (BS.H + TILE - 1) // TILE
+
+        @jax.jit
+        def _measure():
+            prep = preprocess(
+                params["xyz"], G.scaling_act(params["scaling"]),
+                params["rotation"],
+                G.opacity_act(params["opacity"])[:, 0]
+                * alive.astype(np.float32),
+                G.sh_coeffs(params), viewmat, intrin, (BS.W, BS.H), 3)
+            return (tile_loads_device(prep["rect"], tx, ty),
+                    footprint_band_counts_device(prep["rect"]))
+
+        ld, bc = _measure()
+        loads = np.asarray(ld)[None, :]
+        k0, levels = choose_tile_levels(loads, loads.shape[1])
+        plv = choose_pair_levels(np.asarray(bc)[None, :])
+        n_alive = int(np.asarray(alive).sum())
+        acap = -(-int(1.5 * n_alive) // 65536) * 65536
+        acap = acap if acap < capacity else 0
+        max_per_tile = levels[-1][0] if levels else k0
+        k_lo = k0 if levels else 0
+        levels_s = format_tile_levels(levels)
+        pair_s = format_tile_levels(plv)
 
     ocfg = OptimConfig(capacity=capacity, max_per_tile=max_per_tile,
                        tile_k_lo=k_lo, tile_hi_cap=t_hi,
+                       tile_levels=levels_s, pair_levels=pair_s,
+                       active_cap=acap,
                        pairs_per_gaussian=16)
     step = make_train_step(ocfg, (BS.W, BS.H), 30.0, use_appearance=True)
 
@@ -96,6 +120,9 @@ def _run_point(n_points, warmup, iters, seed=0, max_per_tile=None):
         "max_per_tile": int(max_per_tile),
         "tile_k_lo": int(k_lo),
         "tile_hi_cap": int(t_hi),
+        "tile_levels": levels_s,
+        "pair_levels": pair_s,
+        "active_cap": int(acap),
         "n_pairs": int(metrics["n_pairs"]),
         "max_tile_load": int(metrics["max_tile_load"]),
         "overflow": bool(metrics["overflow"]),
@@ -134,8 +161,11 @@ def main() -> None:
     from tools import bench_scene as BS
     from tools.bench_scene import MAX_PER_TILE
 
-    # canonical point: fixed K=512 (the committed round-over-round config)
-    iters_per_sec, honesty = _run_point(
+    # canonical point, production auto geometry (= what --max_per_tile 0
+    # training compiles); the fixed-K512 config every prior round reported
+    # is kept as a comparability field below
+    iters_per_sec, honesty = _run_point(100_000, WARMUP, ITERS)
+    fixed_ips, fixed_h = _run_point(
         100_000, WARMUP, ITERS, max_per_tile=MAX_PER_TILE)
 
     def _roofline(h, ips, width, height):
@@ -145,12 +175,22 @@ def main() -> None:
         from pcp_tpu.ops.projection import TILE
         from tools.roofline import summarize
 
+        from pcp_tpu.train.config import parse_tile_levels
+
         nt = ((width + TILE - 1) // TILE) * ((height + TILE - 1) // TILE)
         k_lo, k, t_hi = h["tile_k_lo"], h["max_per_tile"], h["tile_hi_cap"]
-        slots = nt * k_lo + t_hi * k if k_lo else nt * k
+        levels = parse_tile_levels(h.get("tile_levels", ""))
+        if levels and k_lo:
+            slots = nt * k_lo + sum(ki * ti for ki, ti in levels)
+        elif k_lo:
+            slots = nt * k_lo + t_hi * k
+        else:
+            slots = nt * k
         r = summarize(
             round(1e3 / ips, 2), capacity=h["capacity"], slots=slots,
-            key_slots=int(expansion_key_slots(h["capacity"], nt)),
+            key_slots=int(expansion_key_slots(
+                h["capacity"], nt, h.get("active_cap", 0),
+                parse_tile_levels(h.get("pair_levels", "")))),
             n_pairs=h["n_pairs"], width=width, height=height)
         # one-line summary for the artifact; full table via tools/roofline
         return {k2: r[k2] for k2 in (
@@ -177,6 +217,10 @@ def main() -> None:
         **{k: honesty[k] for k in ("n_pairs", "max_tile_load", "overflow",
                                    "tile_saturated")},
         "roofline": _roofline(honesty, iters_per_sec, BS.W, BS.H),
+        "geometry": "auto (production --max_per_tile 0 tuner: N-level "
+                    "tile tables + measured pair bands + alive-scaled "
+                    "expansion bound)",
+        "fixed_k512_iters_per_sec": round(fixed_ips, 3),
         "scale_sweep": sweep,
         "breakdown": breakdown,
     }))

@@ -320,6 +320,13 @@ def phase_eval(root, block_id, variants, out_json):
     import jax
     import jax.numpy as jnp
 
+    def heartbeat(note):
+        # progress marker for the watchdog's non-train stall detector
+        # (phase_eval writes its artifact only at the END; without this
+        # a long eval looks stalled and gets SIGKILLed)
+        with open(os.path.join(root, "eval_heartbeat.json"), "w") as hf:
+            json.dump({"at": time.time(), "note": note}, hf)
+
     from pcp_tpu.eval.metrics import evaluate_images
     from pcp_tpu.io.ply import load_gaussian_ply
     from pcp_tpu.models import gaussians as G
@@ -400,6 +407,7 @@ def phase_eval(root, block_id, variants, out_json):
         # runs in this separate process on the per-view render path)
         snap_curve = []
         for it_s, d_s in snaps[:-1]:
+            heartbeat(f"{name} snapshot {it_s}")
             try:
                 n_s, res_s, _ = eval_snapshot(
                     os.path.join(d_s, "point_cloud.ply"), full=False)
@@ -513,6 +521,7 @@ def phase_eval(root, block_id, variants, out_json):
             idxs = list(range(0, len(test_cams), step))[:n_ov]
             oracle_gt = []
             for i in idxs:
+                heartbeat(f"oracle view {i}")
                 t0o = time.time()
                 og, _ = rasterize_dense_jax(
                     xyz_t, scales_t, quats_t, op_t, sh_t,
