@@ -340,6 +340,10 @@ def expansion_key_slots(n: int, num_tiles: int, active_cap: int = 0,
     nb = min(n, active_cap) if 0 < active_cap else n
     if pair_levels:
         cap_d = max(nb // CAPD_DIV, 8)
+        pair_levels = tuple(pair_levels)
+        if pair_levels and pair_levels[-1][0] == 0:
+            cap_d = max(int(pair_levels[-1][1]), 8)
+            pair_levels = pair_levels[:-1]
         return (sum(r * c for r, c in pair_levels) + cap_d * num_tiles)
     cap_b = max(nb // CAPB_DIV, 32)
     cap_c = max(nb // CAPC_DIV, 16)
@@ -384,21 +388,34 @@ def choose_pair_levels(band_counts, bounds=PAIR_BOUNDS, headroom=1.3,
     of the neighbor bands (footprints migrate at most one band per retune
     interval in practice), and an overflow anyway is counted in n_dropped
     which schedules a reactive re-tune. Empty interior bands are elided —
-    their range merges into the next wider band."""
+    their range merges into the next wider band.
+
+    A trailing ``(0, cap)`` entry sizes the SAFETY class (the
+    num_tiles-wide rows catching footprints beyond the last bound) from
+    the MEASURED beyond-bound population instead of the capacity
+    heuristic — a scene with more huge splats than nb//CAPD_DIV rows
+    would otherwise drop them whole (measured on the small bench scene:
+    73 beyond-512 splats vs cap 16, 42k pairs dropped)."""
     import numpy as np
 
     band_counts = np.asarray(band_counts)
     n_band = band_counts[:, :len(bounds)].max(axis=0)
+    beyond = int(band_counts[:, len(bounds)].max())
     levels = []
     for j, r in enumerate(bounds):
         lower = int(n_band[j - 1]) if j > 0 else 0
-        upper = int(n_band[j + 1]) if j + 1 < len(bounds) else int(
-            band_counts[:, len(bounds)].max())
+        upper = int(n_band[j + 1]) if j + 1 < len(bounds) else beyond
         if n_band[j] == 0 and j + 1 < len(bounds):
             continue
         n_at = int(headroom * n_band[j]) + int(drift * (lower + upper))
         cap = max(int(-(-(n_at + 64) // quantum)) * quantum, quantum)
         levels.append((int(r), cap))
+    # safety-class cap: measured beyond-bound population + headroom,
+    # snapped to a small quantum (these rows are num_tiles wide — keep
+    # the table tight but never smaller than the default heuristic's
+    # floor of 8)
+    cap_s = max(8, int(-(-int(headroom * beyond + 8) // 64)) * 64)
+    levels.append((0, cap_s))
     return tuple(levels)
 
 
@@ -739,6 +756,13 @@ def _expand_sort_v2(rect, depths, tiles_x, tiles_y, active_cap=0,
     gid_all = jnp.arange(n, dtype=jnp.int32)
 
     key_a = pay_a = None
+    if pair_levels:
+        # a trailing (0, cap) entry overrides the safety-class cap with
+        # the measured beyond-bound population (choose_pair_levels)
+        pair_levels = tuple(pair_levels)
+        if pair_levels and pair_levels[-1][0] == 0:
+            cap_d = max(int(pair_levels[-1][1]), 8)
+            pair_levels = pair_levels[:-1]
     if pair_levels:
         rs = [r for r, _ in pair_levels]
         assert rs == sorted(rs) and rs[0] > 0

@@ -306,8 +306,10 @@ def test_footprint_bands_and_choose_pair_levels():
 
     lv = choose_pair_levels(bc[None, :])
     rs = [r for r, _ in lv]
-    # empty interior bands are elided; the last bound always survives
-    # (beyond-it population lives in the num_tiles-wide safety class)
-    assert rs == [4, 8, 16, 128, 512]
-    assert all(c >= 1024 for _, c in lv)
+    # empty interior bands are elided; the last bound always survives,
+    # and a trailing (0, cap) entry sizes the num_tiles-wide safety
+    # class from the MEASURED beyond-bound population
+    assert rs == [4, 8, 16, 128, 512, 0]
+    assert all(c >= 1024 for _, c in lv[:-1])
+    assert lv[-1][0] == 0 and lv[-1][1] >= 8    # 1 beyond-bound splat
     assert list(PAIR_BOUNDS) == [4, 8, 16, 32, 64, 128, 256, 512]
