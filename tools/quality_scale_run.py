@@ -366,7 +366,11 @@ def phase_eval(root, block_id, variants, out_json):
         shapes instead of one ~13 min tunnel compile each."""
         g = load_gaussian_ply(ply_path)
         n = g["xyz"].shape[0]
-        n_pad = 1 << max(int(np.ceil(np.log2(max(n, 1)))), 10)
+        # ONE pad size for every snapshot: populations from 100k to 1.5M
+        # would otherwise land in 4-5 pow2 buckets, each a ~10 min remote
+        # compile of the 1MP render — padding everything to the run
+        # capacity costs pennies per render and compiles once
+        n_pad = max(CAPACITY, 1 << max(int(np.ceil(np.log2(max(n, 1)))), 10))
         pad = n_pad - n
 
         def p(a, fill=0.0):
