@@ -526,7 +526,8 @@ def phase_eval(root, block_id, variants, out_json):
     # of held-out views carries the claim; the main table stays on the
     # production-rendered GT pngs for comparability with r2-r4.
     oracle_sec = {"provenance": "ops/oracle.rasterize_dense_jax over the "
-                                "true 2M-Gaussian cloud (seed 31), "
+                                f"true {N_FINE + N_COARSE}-Gaussian "
+                                "cloud (seed 31), "
                                 "tile-rect + CUDA skip/early-stop "
                                 "semantics; independent of the "
                                 "production tiled composite"}
